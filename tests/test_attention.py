@@ -1,0 +1,61 @@
+"""Attention primitive tests: XLA path vs torch softmax-attention, Pallas interpret mode."""
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from deepavfusion_tpu.ops import attention
+
+
+def _torch_attention(q, k, v):
+    scale = q.shape[-1] ** -0.5
+    logits = torch.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    w = logits.softmax(-1)
+    return torch.einsum("bhqk,bhkd->bhqd", w, v), w
+
+
+def test_xla_attention_matches_torch():
+    rng = np.random.RandomState(0)
+    q = rng.randn(2, 4, 9, 16).astype(np.float32)
+    k = rng.randn(2, 4, 13, 16).astype(np.float32)
+    v = rng.randn(2, 4, 13, 16).astype(np.float32)
+    ours, w_ours = attention.xla_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), return_weights=True
+    )
+    theirs, w_theirs = _torch_attention(*map(torch.from_numpy, (q, k, v)))
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_ours), w_theirs.numpy(), atol=1e-5)
+
+
+def test_flash_attention_interpret_matches_xla():
+    from deepavfusion_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(2, 3, 324, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 3, 324, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 3, 324, 64).astype(np.float32))
+    got = flash_attention(q, k, v, interpret=True)
+    want = attention.xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_attention_unaligned_shapes():
+    from deepavfusion_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.RandomState(2)
+    # 49 visible image tokens + 32 fusion = pretraining encoder shape; 19 kv
+    q = jnp.asarray(rng.randn(1, 12, 81, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 12, 19, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 12, 19, 64).astype(np.float32))
+    got = flash_attention(q, k, v, interpret=True)
+    want = attention.xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_split_merge_heads_roundtrip():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 5, 24).astype(np.float32))
+    h = attention.split_heads(x, 4)
+    assert h.shape == (2, 4, 5, 6)
+    back = attention.merge_heads(h)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
