@@ -29,15 +29,19 @@ def xla_attention(
     v: jnp.ndarray,
     bias: jnp.ndarray | None = None,
     return_weights: bool = False,
+    scale: float | None = None,
 ):
     """Reference-semantics softmax attention.
 
-    q: (B, H, Nq, Dh), k/v: (B, H, Nk, Dh[v]); scale = Dh_q**-0.5 applied to
-    logits exactly as the reference (models/fusion_blocks.py:23).
+    q: (B, H, Nq, Dh), k/v: (B, H, Nk, Dh[v]); default scale = Dh_q**-0.5
+    applied to logits exactly as the reference (models/fusion_blocks.py:23).
+    ``scale`` overrides it — the reference's Dense/Factorized fusion attentions
+    compute the scale from the *unreduced* head dim (models/fusion_blocks.py:
+    157-159, 219-221) even though q/k are projected to ``dim*attn_ratio``.
     Softmax is computed in f32 regardless of input dtype.
     """
-    dh = q.shape[-1]
-    scale = dh**-0.5
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
     if bias is not None:
@@ -56,24 +60,25 @@ def dot_product_attention(
     bias: jnp.ndarray | None = None,
     return_weights: bool = False,
     use_pallas: bool | None = None,
+    scale: float | None = None,
 ):
     """Dispatching attention: Pallas flash kernel on TPU, XLA einsum elsewhere.
 
     Falls back to XLA whenever attention weights are requested (probing /
-    visualization paths) or shapes are below the kernel's tile threshold.
+    visualization paths) or an additive bias is supplied.
     """
     if return_weights or bias is not None:
-        return xla_attention(q, k, v, bias=bias, return_weights=return_weights)
+        return xla_attention(q, k, v, bias=bias, return_weights=return_weights, scale=scale)
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas:
         try:
             from .pallas.flash_attention import flash_attention
 
-            return flash_attention(q, k, v)
+            return flash_attention(q, k, v, scale=scale)
         except Exception:
             pass
-    return xla_attention(q, k, v)
+    return xla_attention(q, k, v, scale=scale)
 
 
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:

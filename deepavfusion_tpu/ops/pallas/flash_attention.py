@@ -54,28 +54,39 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False):
-    """softmax(q kᵀ / sqrt(dh)) v fused in VMEM.
+@functools.partial(jax.jit, static_argnames=("interpret", "scale"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    interpret: bool = False,
+    scale: float | None = None,
+):
+    """softmax(q kᵀ · scale) v fused in VMEM.
 
-    q: (B, H, Nq, Dh), k/v: (B, H, Nk, Dh). Returns (B, H, Nq, Dh) in q.dtype.
-    Scale uses q's head dim, matching the reference modules.
+    q: (B, H, Nq, Dh), k: (B, H, Nk, Dh), v: (B, H, Nk, Dhv) — Dhv may differ
+    from Dh (the factorized fusion attention projects V to the full dim while
+    Q/K are reduced; reference models/fusion_blocks.py:228-230). Default scale
+    is Dh**-0.5. Returns (B, H, Nq, Dhv) in q.dtype.
     """
     b, h, nq, dh = q.shape
     nk = k.shape[2]
-    scale = dh**-0.5
+    dhv = v.shape[3]
+    if scale is None:
+        scale = dh**-0.5
 
-    # Pad sequence dims to sublane multiples; head dim to lane multiple.
+    # Pad sequence dims to sublane multiples; head dims to lane multiple.
     nq_p = _round_up(nq, 8)
     nk_p = _round_up(nk, 8)
     dh_p = _round_up(dh, 128)
+    dhv_p = _round_up(dhv, 128)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, nq_p - nq), (0, dh_p - dh)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, nk_p - nk), (0, dh_p - dh)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, nk_p - nk), (0, dh_p - dh)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, nk_p - nk), (0, dhv_p - dhv)))
 
     qp = qp.reshape(b * h, nq_p, dh_p)
     kp = kp.reshape(b * h, nk_p, dh_p)
-    vp = vp.reshape(b * h, nk_p, dh_p)
+    vp = vp.reshape(b * h, nk_p, dhv_p)
 
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, kv_len=nk),
@@ -83,17 +94,17 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: b
         in_specs=[
             pl.BlockSpec((1, nq_p, dh_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk_p, dh_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk_p, dh_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_p, dhv_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, nq_p, dh_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, nq_p, dh_p), q.dtype),
+        out_specs=pl.BlockSpec((1, nq_p, dhv_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_p, dhv_p), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * nq_p * nk_p * dh_p * 2,
+            flops=2 * b * h * nq_p * nk_p * (dh_p + dhv_p),
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
             transcendentals=b * h * nq_p * nk_p,
         ),
     )(qp, kp, vp)
 
-    out = out.reshape(b, h, nq_p, dh_p)[:, :, :nq, :dh]
+    out = out.reshape(b, h, nq_p, dhv_p)[:, :, :nq, :dhv]
     return out
