@@ -1,0 +1,186 @@
+"""Converter + full-model forward parity harness vs the pure-torch oracle.
+
+The acceptance bar (BASELINE.json): converted checkpoints must reproduce
+encoder outputs within 1e-3. Here we verify at 1e-4 on small random-init
+models, covering all three fusion architectures, masked forward, per-layer
+embeddings, and the MAE decoders.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from deepavfusion_tpu.convert import torch2jax as cvt
+from deepavfusion_tpu.models import avmae as avmae_mod
+from deepavfusion_tpu.models import deepavfusion as trunk_mod
+from deepavfusion_tpu.models.vit import vit_config
+
+from torch_oracle import OracleAVMAE, OracleTrunk
+
+
+def jax_cfg(arch):
+    return trunk_mod.DeepAVFusionConfig(
+        image=vit_config("vit_small", (32, 32), 3, depth=3, embed_dim=48, num_heads=4),
+        audio=vit_config("vit_small", (16, 48), 1, depth=3, embed_dim=48, num_heads=4),
+        fusion_arch=arch,
+        num_fusion_tkns=(4, 2, 2),
+        fusion_mlp_ratio=1.0,
+        fusion_attn_ratio=0.25,
+        fusion_num_heads=4,
+    )
+
+
+def make_pair(arch, seed=0):
+    torch.manual_seed(seed)
+    oracle = OracleTrunk(arch=arch).eval()
+    sd = oracle.state_dict()
+    converted = cvt.deepavfusion(sd, "", image_depth=3, audio_depth=3, fusion_arch=arch)
+    model = trunk_mod.DeepAVFusion(jax_cfg(arch))
+    return oracle, converted, model
+
+
+@pytest.mark.parametrize("arch", ["factorized_mmi", "token", "dense_mmi"])
+def test_trunk_forward_parity(arch):
+    oracle, params, model = make_pair(arch)
+
+    # structural strictness: converted tree must exactly match init tree
+    ref_tree = model.init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 16, 48, 1))
+    )["params"]
+    cvt.assert_tree_matches(params, jax.tree.map(np.shape, ref_tree))
+
+    rng = np.random.RandomState(1)
+    img = rng.randn(2, 32, 32, 3).astype(np.float32)
+    aud = rng.randn(2, 16, 48, 1).astype(np.float32)
+
+    with torch.no_grad():
+        ti, ta, tf = oracle(
+            torch.from_numpy(img.transpose(0, 3, 1, 2)),
+            torch.from_numpy(aud.transpose(0, 3, 1, 2)),
+        )
+    ji, ja, jf = model.apply({"params": params}, jnp.asarray(img), jnp.asarray(aud))
+
+    np.testing.assert_allclose(np.asarray(ji), ti.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ja), ta.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jf), tf.numpy(), atol=1e-4)
+
+
+def test_trunk_masked_parity():
+    oracle, params, model = make_pair("factorized_mmi", seed=3)
+    rng = np.random.RandomState(2)
+    img = rng.randn(2, 32, 32, 3).astype(np.float32)
+    aud = rng.randn(2, 16, 48, 1).astype(np.float32)
+    ik = np.array([[0, 2], [3, 1]], np.int64)
+    ak = np.array([[1, 0], [2, 1]], np.int64)
+
+    with torch.no_grad():
+        ti, ta, tf = oracle(
+            torch.from_numpy(img.transpose(0, 3, 1, 2)),
+            torch.from_numpy(aud.transpose(0, 3, 1, 2)),
+            torch.from_numpy(ik), torch.from_numpy(ak),
+        )
+    ji, ja, jf = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(aud),
+        image_ids_keep=jnp.asarray(ik, jnp.int32),
+        audio_ids_keep=jnp.asarray(ak, jnp.int32),
+    )
+    np.testing.assert_allclose(np.asarray(ji), ti.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ja), ta.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jf), tf.numpy(), atol=1e-4)
+
+
+def test_trunk_embs_parity():
+    oracle, params, model = make_pair("factorized_mmi", seed=4)
+    rng = np.random.RandomState(5)
+    img = rng.randn(1, 32, 32, 3).astype(np.float32)
+    aud = rng.randn(1, 16, 48, 1).astype(np.float32)
+    with torch.no_grad():
+        _, _, _, t_embs = oracle(
+            torch.from_numpy(img.transpose(0, 3, 1, 2)),
+            torch.from_numpy(aud.transpose(0, 3, 1, 2)),
+            return_embs=True,
+        )
+    _, _, _, j_embs = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(aud), return_embs=True
+    )
+    assert len(t_embs) == len(j_embs) == 3
+    for (txi, txa, txf), (jxi, jxa, jxf) in zip(t_embs, j_embs):
+        np.testing.assert_allclose(np.asarray(jxi), txi.numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(jxa), txa.numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(jxf), txf.numpy(), atol=1e-4)
+
+
+def test_mae_decoder_parity():
+    torch.manual_seed(7)
+    oracle_trunk = OracleTrunk()
+    oracle = OracleAVMAE(oracle_trunk, dec_dim=32, dec_depth=2, dec_heads=4).eval()
+    sd = oracle.state_dict()
+
+    dec_params = cvt.mae_decoder(sd, "image", depth=2)
+    dec = avmae_mod.MAEDecoder(
+        avmae_mod.MAEDecoderConfig(depth=2, mask_ratio=0.75),
+        grid_size=(2, 2), patch_dim=16 * 16 * 3,
+        decoder_dim=32, num_heads=4, mlp_ratio=4.0, norm_eps=1e-5,
+    )
+
+    rng = np.random.RandomState(8)
+    x = rng.randn(2, 1, 48).astype(np.float32)          # 1 visible token
+    xf = rng.randn(2, 8, 48).astype(np.float32)
+    ids_restore = np.array([[2, 0, 3, 1], [1, 3, 0, 2]], np.int64)
+
+    with torch.no_grad():
+        want = oracle.decode(
+            torch.from_numpy(x), torch.from_numpy(xf),
+            torch.from_numpy(ids_restore), "image",
+        ).numpy()
+    got = dec.apply(
+        {"params": dec_params}, jnp.asarray(x), jnp.asarray(xf),
+        jnp.asarray(ids_restore, jnp.int32),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_avmae_full_checkpoint_roundtrip():
+    """Full AVMAE state dict converts into a tree that exactly matches the
+    flax init structure (the strict=True analogue)."""
+    torch.manual_seed(9)
+    oracle = OracleAVMAE(OracleTrunk(), dec_dim=32, dec_depth=2, dec_heads=4)
+    sd = {f"{k}": v for k, v in oracle.state_dict().items()}
+
+    converted = cvt.avmae(sd, image_depth=3, audio_depth=3, decoder_depth=2)
+
+    cfg = avmae_mod.AVMAEConfig(
+        encoder=jax_cfg("factorized_mmi"),
+        image_decoder=avmae_mod.MAEDecoderConfig(depth=2),
+        audio_decoder=avmae_mod.MAEDecoderConfig(depth=2, mask_ratio=0.8),
+        decoder_dim=32,
+        decoder_num_heads=4,
+    )
+    model = avmae_mod.AVMAE(cfg)
+    ref = model.init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 16, 48, 1)),
+        jax.random.key(1),
+    )["params"]
+    cvt.assert_tree_matches(converted, jax.tree.map(np.shape, ref))
+
+    # and the converted weights actually run
+    out = model.apply(
+        {"params": converted},
+        jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 16, 48, 1)), jax.random.key(2),
+    )
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_vit_from_mae_init_skips_decoder_keys():
+    torch.manual_seed(10)
+    trunk = OracleTrunk()
+    sd = {k[len("image."):]: v for k, v in trunk.state_dict().items()
+          if k.startswith("image.")}
+    # simulate an MAE checkpoint with decoder keys + cls_token
+    sd["decoder_embed.weight"] = torch.zeros(4, 4)
+    sd["mask_token"] = torch.zeros(1, 1, 48)
+    sd["cls_token"] = torch.zeros(1, 1, 48)
+    tree = cvt.vit_from_mae_init(sd, depth=3)
+    assert "cls_token" not in tree
+    assert set(tree) == {"patch_embed", "norm"} | {f"blocks_{i}" for i in range(3)}
