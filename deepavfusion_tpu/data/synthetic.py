@@ -1,0 +1,35 @@
+"""Synthetic fixed-shape AV batches for tests, benchmarks and debug runs.
+
+The TPU analogue of the reference's ``debug`` truncation flag (SURVEY.md §4):
+every entry point can run end-to-end on synthetic data with no media on disk.
+Shapes match the canonical pipeline: image (B, 224, 224, 3) normalized RGB,
+audio (B, 128, 192, 1) log-mel.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+
+def synthetic_batch(
+    batch_size: int,
+    image_size: int = 224,
+    audio_mels: int = 128,
+    audio_frames: int = 192,
+    num_classes: int = 0,
+    seed: int = 0,
+) -> dict:
+    rng = np.random.RandomState(seed)
+    batch = {
+        "image": rng.randn(batch_size, image_size, image_size, 3).astype(np.float32),
+        "audio": rng.randn(batch_size, audio_mels, audio_frames, 1).astype(np.float32),
+    }
+    if num_classes:
+        batch["label"] = rng.randint(0, num_classes, size=(batch_size,)).astype(np.int32)
+    return batch
+
+
+def synthetic_loader(batch_size: int, steps: int, seed: int = 0, **kw) -> Iterator[dict]:
+    for i in range(steps):
+        yield synthetic_batch(batch_size, seed=seed + i, **kw)

@@ -1,0 +1,232 @@
+"""Train-step tests: schedules, param-group machinery, accum, 8-device DP mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepavfusion_tpu.train import lr_sched, trainer
+
+
+# --------------------------------------------------------------------------- #
+# Schedules vs reference math (util/lr_sched.py:4-24)
+# --------------------------------------------------------------------------- #
+def ref_lr(epoch, lr, wu, total):
+    import math
+
+    if epoch < wu:
+        return lr * epoch / wu
+    return lr * 0.5 * (1.0 + math.cos(math.pi * (epoch - wu) / (total - wu)))
+
+
+def test_warmup_cosine_matches_reference():
+    fn = lr_sched.warmup_cosine(1.5e-4, 50.0, 300.0, steps_per_epoch=10.0)
+    for step in [0, 5, 100, 499, 500, 501, 1500, 2990, 2999]:
+        epoch = step / 10.0
+        np.testing.assert_allclose(
+            float(fn(step)), ref_lr(epoch, 1.5e-4, 50.0, 300.0),
+            rtol=1e-4, atol=1e-9,  # f32 cos near pi vs python f64
+            err_msg=f"step {step}",
+        )
+
+
+def test_pretrained_mult_matches_reference():
+    import math
+
+    fn = lr_sched.pretrained_mult(0.0, 1.0, 150.0, steps_per_epoch=1.0)
+    for e in [0, 10, 75, 149, 150, 200]:
+        want = (
+            (0.5 - 0.5 * math.cos(math.pi * e / 150.0)) * 1.0 if e < 150 else 1.0
+        )
+        np.testing.assert_allclose(float(fn(e)), want, rtol=1e-5, atol=1e-7)
+
+
+def test_eval_epochs_expr():
+    assert lr_sched.eval_epochs_expr("epochs/2", 300) == 150.0
+    assert lr_sched.eval_epochs_expr(40, 300) == 40.0
+    assert lr_sched.eval_epochs_expr(None, 300) == -1.0
+
+
+# --------------------------------------------------------------------------- #
+# Masks / multiplier trees
+# --------------------------------------------------------------------------- #
+def fake_params():
+    return {
+        "encoder": {
+            "image": {
+                "patch_embed": {"proj": {"kernel": jnp.zeros((16, 16, 3, 8)),
+                                         "bias": jnp.zeros((8,))}},
+                "blocks_0": {"attn": {"qkv": {"kernel": jnp.zeros((8, 24))}}},
+                "blocks_1": {"attn": {"qkv": {"kernel": jnp.zeros((8, 24))}}},
+                "norm": {"scale": jnp.zeros((8,)), "bias": jnp.zeros((8,))},
+            },
+            "audio": {"blocks_0": {"mlp": {"fc1": {"kernel": jnp.zeros((8, 8))}}}},
+            "fusion_tokens": jnp.zeros((1, 8, 8)),
+            "fusion_blocks_1": {"mlp": {"fc1": {"kernel": jnp.zeros((8, 8))}}},
+            "fusion_norm": {"scale": jnp.zeros((8,)), "bias": jnp.zeros((8,))},
+        },
+        "image_decoder": {"pred": {"kernel": jnp.zeros((8, 768)), "bias": jnp.zeros((768,))}},
+    }
+
+
+def test_weight_decay_mask():
+    import flax
+
+    mask = flax.traverse_util.flatten_dict(lr_sched.weight_decay_mask(fake_params()))
+    get = lambda *path: mask[path]
+    assert get("encoder", "image", "patch_embed", "proj", "kernel")
+    assert not get("encoder", "image", "patch_embed", "proj", "bias")
+    assert not get("encoder", "image", "norm", "scale")       # 'norm' in path
+    assert not get("encoder", "fusion_norm", "scale")
+    assert get("image_decoder", "pred", "kernel")
+    # fusion_tokens: ndim 3 and no bias/norm in name → reference DOES decay it
+    assert get("encoder", "fusion_tokens")
+
+
+def test_pretrained_mask():
+    import flax
+
+    mask = flax.traverse_util.flatten_dict(
+        lr_sched.pretrained_mask(fake_params(), image_pt=True, audio_pt=False)
+    )
+    assert mask[("encoder", "image", "blocks_0", "attn", "qkv", "kernel")]
+    assert not mask[("encoder", "audio", "blocks_0", "mlp", "fc1", "kernel")]
+    assert not mask[("encoder", "fusion_tokens")]
+    assert not mask[("image_decoder", "pred", "kernel")]
+
+
+def test_layer_ids_and_decay_scales():
+    assert lr_sched.layer_id_for_path("encoder/image/patch_embed/proj/kernel", 12) == 0
+    assert lr_sched.layer_id_for_path("encoder/image/blocks_0/attn/qkv/kernel", 12) == 1
+    assert lr_sched.layer_id_for_path("encoder/image/blocks_11/mlp/fc2/bias", 12) == 12
+    assert lr_sched.layer_id_for_path("encoder/image/norm/scale", 12) == 13
+    assert lr_sched.layer_id_for_path("encoder/fusion_tokens", 12) == 0
+    assert lr_sched.layer_id_for_path("encoder/fusion_blocks_3/mlp/fc1/kernel", 12) == 4
+    assert lr_sched.layer_id_for_path("image_head/kernel", 12) == 13
+
+    import flax
+
+    scales = flax.traverse_util.flatten_dict(
+        lr_sched.layer_decay_scales(fake_params(), 0.75, depth=2)
+    )
+    np.testing.assert_allclose(
+        scales[("encoder", "image", "patch_embed", "proj", "kernel")], 0.75**3
+    )
+    np.testing.assert_allclose(
+        scales[("encoder", "image", "blocks_1", "attn", "qkv", "kernel")], 0.75**1
+    )
+    np.testing.assert_allclose(scales[("encoder", "image", "norm", "scale")], 1.0)
+
+
+# --------------------------------------------------------------------------- #
+# Train step: convergence, accumulation equivalence, mesh
+# --------------------------------------------------------------------------- #
+def quad_loss(params, batch, key):
+    pred = batch["x"] @ params["w"] + params["b"]
+    loss = jnp.mean((pred - batch["y"]) ** 2)
+    return loss, {"loss": loss}
+
+
+def make_quad(accum, mesh=None, lr=0.1):
+    params = {"w": jnp.zeros((4, 1)), "b": jnp.zeros((1,))}
+    import optax
+
+    tx = optax.sgd(lr)
+    state = trainer.TrainState.create(params, tx)
+    step = trainer.make_train_step(quad_loss, tx, accum_iter=accum, mesh=mesh,
+                                   donate=False)
+    return state, step
+
+
+def quad_batch(n, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, 4).astype(np.float32)
+    w = np.array([[1.0], [-2.0], [0.5], [3.0]], np.float32)
+    y = x @ w + 0.25
+    return {"x": jnp.asarray(x), "y": jnp.asarray(y)}
+
+
+def test_train_step_converges():
+    state, step = make_quad(accum=1)
+    batch = quad_batch(64)
+    for i in range(200):
+        state, m = step(state, batch, jax.random.key(i))
+    assert float(m["loss"]) < 1e-3
+    assert int(state.step) == 200
+
+
+def test_accum_equivalence():
+    """accum=2 over a 2n batch == accum=1 with the mean of two half-batches'
+    grads (same data, same order)."""
+    batch = quad_batch(8, seed=1)
+    s1, step1 = make_quad(accum=1)
+    s2, step2 = make_quad(accum=2)
+    s1b, _ = step1(s1, batch, jax.random.key(0))
+    s2b, _ = step2(s2, batch, jax.random.key(0))
+    # sgd on mean grads: identical params after one update
+    np.testing.assert_allclose(
+        np.asarray(s1b.params["w"]), np.asarray(s2b.params["w"]), atol=1e-6
+    )
+
+
+def test_train_step_on_8dev_mesh():
+    from deepavfusion_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh({"data": 8})
+    state, step = make_quad(accum=1, mesh=mesh)
+    state = mesh_lib.replicate(state, mesh)
+    batch = mesh_lib.shard_batch(quad_batch(64, seed=2), mesh)
+    for i in range(100):
+        state, m = step(state, batch, jax.random.key(i))
+    assert float(m["loss"]) < 1e-2
+    # params stay replicated
+    assert state.params["w"].sharding.is_fully_replicated
+
+
+def test_mesh_result_matches_single_device():
+    from deepavfusion_tpu.parallel import mesh as mesh_lib
+
+    batch = quad_batch(16, seed=3)
+    s0, step0 = make_quad(accum=1)
+    s0, _ = step0(s0, batch, jax.random.key(0))
+
+    mesh = mesh_lib.make_mesh({"data": 8})
+    s1, step1 = make_quad(accum=1, mesh=mesh)
+    s1 = mesh_lib.replicate(s1, mesh)
+    s1, _ = step1(s1, mesh_lib.shard_batch(batch, mesh), jax.random.key(0))
+    np.testing.assert_allclose(
+        np.asarray(s0.params["w"]), np.asarray(s1.params["w"]), atol=1e-6
+    )
+
+
+def test_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_adamw_decoupled_weight_decay_matches_torch():
+    """One AdamW step vs torch.optim.AdamW on identical params/grads."""
+    import optax
+    import torch
+
+    w0 = np.array([[1.0, -2.0], [0.5, 3.0]], np.float32)
+    g0 = np.array([[0.1, -0.2], [0.3, 0.4]], np.float32)
+
+    params = {"w": jnp.asarray(w0)}
+    opt_cfg = lr_sched.OptimizerConfig(
+        lr=1e-2, warmup_epochs=0.0, epochs=10.0, steps_per_epoch=1.0,
+        weight_decay=0.05,
+    )
+    tx, _ = lr_sched.make_adamw(params, opt_cfg)
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.asarray(g0)}, state, params)
+    got = np.asarray(optax.apply_updates(params, updates)["w"])
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.AdamW([tw], lr=1e-2, betas=(0.9, 0.95), weight_decay=0.05)
+    tw.grad = torch.from_numpy(g0.copy())
+    opt.step()
+    np.testing.assert_allclose(got, tw.detach().numpy(), atol=2e-6)
