@@ -144,4 +144,20 @@ def load_config(
     if overrides:
         tree = apply_overrides(tree, overrides)
     tree = _interpolate(tree)
+    tree = _coerce_numbers(tree)
     return DotDict(tree)
+
+
+_SCI_FLOAT = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
+def _coerce_numbers(node):
+    """PyYAML (YAML 1.1) leaves '3e-4' as a string — coerce exponent-form
+    numeric literals to float recursively. Values like '300/2' stay strings."""
+    if isinstance(node, dict):
+        return {k: _coerce_numbers(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_coerce_numbers(v) for v in node]
+    if isinstance(node, str) and _SCI_FLOAT.match(node.strip()):
+        return float(node)
+    return node

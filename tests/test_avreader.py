@@ -1,0 +1,100 @@
+"""C++ decode stage tests using generated media (WAV + animated GIF)."""
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from deepavfusion_tpu.data import avreader
+
+
+@pytest.fixture(scope="module")
+def wav_file(tmp_path_factory):
+    """2 s stereo 44.1 kHz with a 440 Hz tone."""
+    path = tmp_path_factory.mktemp("media") / "tone.wav"
+    rate = 44100
+    t = np.arange(rate * 2) / rate
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    stereo = np.stack([tone, tone], 1).reshape(-1)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(stereo.tobytes())
+    return str(path), rate, tone
+
+
+@pytest.fixture(scope="module")
+def gif_file(tmp_path_factory):
+    """10-frame animated GIF, 64×48, each frame a distinct solid gray level."""
+    from PIL import Image
+
+    path = tmp_path_factory.mktemp("media") / "anim.gif"
+    frames = [
+        Image.new("RGB", (64, 48), (i * 25, i * 25, i * 25)) for i in range(10)
+    ]
+    frames[0].save(
+        str(path), save_all=True, append_images=frames[1:], duration=100, loop=0
+    )
+    return str(path)
+
+
+def test_audio_reader_decodes_tone(wav_file):
+    path, rate, tone = wav_file
+    r = avreader.AudioReader(path, rate=16000)
+    assert r.orig_rate == 44100
+    assert abs(r.duration - 2.0) < 0.05
+    wav = r.read(0.0, 1.0)
+    assert wav.shape == (1, 16000)
+    assert wav.dtype == np.float32
+    # dominant frequency ≈ 440 Hz
+    spec = np.abs(np.fft.rfft(wav[0]))
+    peak_hz = spec.argmax() * 16000 / 16000
+    assert abs(peak_hz - 440) < 5
+    assert np.abs(wav).max() <= 1.0
+
+
+def test_audio_reader_native_rate_exact_values(wav_file):
+    path, rate, tone = wav_file
+    r = avreader.AudioReader(path)  # no resample
+    wav = r.read(0.0, 0.5)
+    assert wav.shape == (1, 22050)
+    # swresample's standard -3 dB stereo→mono downmix: 0.707·L + 0.707·R
+    # (identical to PyAV's AudioResampler(layout='mono'), i.e. reference parity)
+    want = tone[:22050].astype(np.float32) / 32768.0 * np.sqrt(2.0, dtype=np.float32)
+    np.testing.assert_allclose(wav[0], want, atol=2e-3)
+
+
+def test_audio_reader_pads_past_end(wav_file):
+    path, _, _ = wav_file
+    r = avreader.AudioReader(path, rate=8000)
+    wav = r.read(1.5, 3.5)  # extends 1.5 s past EOF → symmetric pad
+    assert wav.shape == (1, 16000)
+    assert np.isfinite(wav).all()
+
+
+def test_video_reader_frames(gif_file):
+    r = avreader.VideoReader(gif_file)
+    assert (r.width, r.height) == (64, 48)
+    frame, ts = r.precise_frame(0.45)
+    assert frame.shape == (48, 64, 3)
+    # frame at ~0.45 s is the 5th (level 4*25=100) at 10 fps
+    assert abs(int(frame[0, 0, 0]) - 100) <= 26
+    frame2, ts2 = r.quick_random_frame(0.0, 0.9)
+    assert frame2.shape == (48, 64, 3)
+    # solid frames: all pixels equal
+    assert frame2.std() < 1.0
+
+
+def test_video_reader_resize(gif_file):
+    r = avreader.VideoReader(gif_file)
+    frame, _ = r.precise_frame(0.0, size=(32, 24))
+    assert frame.shape == (24, 32, 3)
+
+
+def test_video_reader_clip(gif_file):
+    r = avreader.VideoReader(gif_file)
+    frames, ts = r.get_clip(0.0, 0.5, fps=10)
+    assert len(frames) == 5
+    levels = [int(f[0, 0, 0]) for f in frames]
+    assert levels == sorted(levels)  # monotonically brighter

@@ -1,0 +1,210 @@
+"""Data-layer tests: transforms parity, datasets over generated media, loader."""
+import csv
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from avi_writer import make_test_video
+from deepavfusion_tpu.data import datasets, loader, transforms
+from deepavfusion_tpu.ops import audio as audio_ops
+
+
+# --------------------------------------------------------------------------- #
+# Transforms
+# --------------------------------------------------------------------------- #
+def test_numpy_log_mel_matches_jax():
+    rng = np.random.RandomState(0)
+    wav = rng.randn(1, 48000).astype(np.float32) * 0.1
+    got = transforms.log_mel_np(wav, 16000, 128)
+    want = np.asarray(audio_ops.log_mel(jnp.asarray(wav), 16000, 3.0, 128))
+    assert got.shape == want.shape == (1, 128, 192)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_image_train_transform_shape_and_norm():
+    img = Image.fromarray(np.full((100, 160, 3), 128, np.uint8))
+    t = transforms.ImageTrainTransform(64, crop_min=0.5)
+    out = t(img)
+    assert out.shape == (64, 64, 3)
+    # gray 128/255 normalized
+    want = (128 / 255.0 - transforms.IMAGENET_MEAN) / transforms.IMAGENET_STD
+    np.testing.assert_allclose(out[0, 0], want, atol=1e-5)
+
+
+def test_image_eval_transform_center_crop():
+    # distinct center: black image with white center pixel block
+    arr = np.zeros((128, 256, 3), np.uint8)
+    arr[54:74, 118:138] = 255
+    t = transforms.ImageEvalTransform(112)  # resize shorter side to 128, crop 112
+    out = t(Image.fromarray(arr))
+    assert out.shape == (112, 112, 3)
+    # white block lands in the crop center
+    assert out[56, 56, 0] > out[0, 0, 0]
+
+
+def test_paired_label_transform_nearest():
+    img = Image.fromarray(np.zeros((64, 64, 3), np.uint8))
+    lbl = Image.fromarray((np.arange(64 * 64).reshape(64, 64) % 5).astype(np.uint8))
+    t = transforms.ImageEvalTransform(32, resize_factor=1.0)
+    out, (lbl_out,) = t(img, labels=(lbl,))
+    lbl_np = np.asarray(lbl_out)
+    assert lbl_np.shape == (32, 32)
+    assert set(np.unique(lbl_np)) <= {0, 1, 2, 3, 4}  # nearest keeps exact ids
+
+
+# --------------------------------------------------------------------------- #
+# Fake datasets on disk
+# --------------------------------------------------------------------------- #
+@pytest.fixture(scope="module")
+def vggsound_root(tmp_path_factory):
+    """VGGSound-layout directory with 4 generated AV clips in 2 classes."""
+    root = tmp_path_factory.mktemp("vggsound")
+    (root / "annotations").mkdir()
+    rows = []
+    for i, cls in enumerate(["dog_barking", "cat_meowing"] * 2):
+        yid = f"vid{i:011d}"
+        (root / "clips" / cls).mkdir(parents=True, exist_ok=True)
+        make_test_video(str(root / "clips" / cls / f"{yid}_000000_000010.mp4"),
+                        seconds=4.0, fps=5, tone_hz=300 + 100 * i, seed=i)
+        rows.append([yid, "0", cls.replace("_", " ", 1), "train" if i < 3 else "test"])
+    with open(root / "annotations" / "vggsound.csv", "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    return str(root)
+
+
+def test_vggsound_catalog_and_simple_dataset(vggsound_root):
+    db = datasets.get_vggsound(
+        vggsound_root, datasets.VideoDataset, partition="train",
+        visual_transform=transforms.ImageTrainTransform(32),
+        audio_transform=transforms.AudioTrainTransform(16000, 3.0, 64),
+        audio_dur=3.0, audio_rate=16000, temporal_jitter=True,
+    )
+    assert len(db) == 3
+    assert db.class_dist is not None
+    s = db[0]
+    assert s["image"].shape == (32, 32, 3)
+    assert s["audio"].shape == (64, 192, 1)
+    assert isinstance(s["class"], (int, np.integer))
+
+
+def test_dense_dataset(vggsound_root):
+    db = datasets.get_vggsound(
+        vggsound_root, datasets.DenseVideoDataset, partition="train",
+        visual_transform=transforms.ImageEvalTransform(32),
+        audio_transform=transforms.AudioEvalTransform(16000, 3.0, 64),
+        audio_dur=3.0, audio_rate=16000, dense_n=4, dense_span=4,
+    )
+    s = db[0]
+    assert s["image"].shape == (4, 32, 32, 3)
+    assert s["audio"].shape == (4, 64, 192, 1)
+
+
+def test_mixture_dataset(vggsound_root):
+    db = datasets.get_vggsound(
+        vggsound_root, datasets.MixtureVideoDataset, partition="train",
+        visual_transform=transforms.ImageEvalTransform(32),
+        audio_transform=transforms.AudioEvalTransform(16000, 3.0, 64),
+        audio_dur=3.0, audio_rate=16000, num_mixtures=2,
+    )
+    s = db[0]
+    assert s["audio"].shape == (64, 192, 1)
+    assert s["mixed_audio"].shape == (64, 192, 1)
+    assert s["frames"].shape == (2, 32, 32, 3)
+    assert s["waveforms"].shape == (2, 48000)
+    # mixture spec differs from single-source spec
+    assert np.abs(s["mixed_audio"] - s["audio"]).max() > 0.1
+
+
+@pytest.fixture(scope="module")
+def avsbench_root(tmp_path_factory):
+    """AVSBench folder layout: label/uid/{frames,labels_semantic,audio.wav}."""
+    root = tmp_path_factory.mktemp("avsbench")
+    rows = [["vid", "uid", "s_min", "s_sec", "a_obj", "split", "label"]]
+    classes = {"background": 0, "dog": 1, "cat": 2}
+    for i, (obj, label) in enumerate([("dog", "v1s"), ("cat", "v1s")]):
+        uid = f"u{i}"
+        d = root / label / uid
+        (d / "frames").mkdir(parents=True)
+        (d / "labels_semantic").mkdir()
+        for fn in range(5):
+            Image.fromarray(
+                np.full((48, 64, 3), 40 * fn, np.uint8)).save(d / "frames" / f"{fn}.jpg")
+            m = np.zeros((48, 64), np.uint8)
+            m[10:30, 10:40] = classes[obj]
+            Image.fromarray(m).save(d / "labels_semantic" / f"{fn}.png")
+        rate = 16000
+        t = np.arange(rate * 5) / rate
+        tone = (0.4 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+        with wave.open(str(d / "audio.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(tone.tobytes())
+        rows.append(["v", uid, "0", "0", obj, "train", label])
+    with open(root / "metadata.csv", "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    json.dump(classes, open(root / "label2idx.json", "w"))
+    return str(root)
+
+
+def test_avsbench_s4_dataset(avsbench_root):
+    db = datasets.get_avsbench_s4(
+        avsbench_root, partition="train",
+        visual_transform=transforms.ImageTrainTransform(32),
+        audio_transform=transforms.AudioTrainTransform(16000, 3.0, 64),
+        audio_dur=3.0, audio_rate=16000, temporal_jitter=True,
+    )
+    assert len(db) == 20  # 2 samples × oversample 10
+    s = db[0]
+    assert s["image"].shape == (32, 32, 3)
+    assert s["audio"].shape == (64, 192, 1)
+    assert s["gt_map"].shape == (32, 32)
+    assert s["gt_map"].dtype == np.float32   # binary task
+    assert set(np.unique(s["gt_map"])) <= {0.0, 1.0}
+
+
+def test_avsbench_dense_eval(avsbench_root):
+    db = datasets.get_avsbench_s4(
+        avsbench_root, partition="train",
+        visual_transform=transforms.ImageEvalTransform(32, resize_factor=1.0),
+        audio_transform=transforms.AudioEvalTransform(16000, 3.0, 64),
+        audio_dur=3.0, audio_rate=16000, temporal_jitter=False, dense=True,
+    )
+    s = db[0]
+    assert s["image"].shape == (5, 32, 32, 3)
+    assert s["gt_map"].shape == (5, 32, 32)
+
+
+def test_loader_batches(vggsound_root):
+    db = datasets.get_vggsound(
+        vggsound_root, datasets.VideoDataset, partition="train",
+        visual_transform=transforms.ImageTrainTransform(32),
+        audio_transform=transforms.AudioTrainTransform(16000, 3.0, 64),
+        audio_dur=3.0, audio_rate=16000, temporal_jitter=True,
+    )
+    dl = loader.get_dataloader(db, batch_size=2, workers=2, shuffle=True)
+    batches = list(dl)
+    assert len(batches) == 1  # 3 samples, drop_last
+    b = batches[0]
+    assert b["image"].shape == (2, 32, 32, 3)
+    assert b["audio"].shape == (2, 64, 192, 1)
+    assert b["class"].shape == (2,)
+
+
+def test_retry_on_corrupt_sample(vggsound_root, tmp_path):
+    db = datasets.get_vggsound(
+        vggsound_root, datasets.VideoDataset, partition="train",
+        visual_transform=transforms.ImageTrainTransform(32),
+        audio_transform=transforms.AudioTrainTransform(16000, 3.0, 64),
+        audio_dur=3.0, audio_rate=16000,
+    )
+    # corrupt one file path in the list; __getitem__ must retry another sample
+    db.video_files = ["nonexistent/broken.mp4"] + list(db.video_files[1:])
+    s = db[0]
+    assert s["image"].shape == (32, 32, 3)
