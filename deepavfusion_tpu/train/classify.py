@@ -54,12 +54,18 @@ def class_weighted_loss(loss, class_freq, multi_label: bool):
     """Reference eval_finetune.py:296 quirk: for single-label datasets the
     criterion returns a scalar and ``(loss / freq).mean()`` reduces to
     loss × mean(1/freq); for multi-label the (B, C) BCE map is weighted
-    per class then averaged."""
+    per class then averaged.
+
+    class_freq must be a host numpy array — the seen-class mask is resolved
+    statically (boolean indexing is not stageable under jit).
+    """
+    class_freq = np.asarray(class_freq)
     seen = class_freq > 0
-    inv = 1.0 / class_freq[seen]
+    inv = (1.0 / class_freq[seen]).astype(np.float32)
     if multi_label:
-        return (loss[:, seen] * inv[None, :]).mean()
-    return loss * inv.mean()
+        # loss here is the per-element BCE map already restricted to seen cols
+        return (loss * jnp.asarray(inv)[None, :]).mean()
+    return loss * float(inv.mean())
 
 
 def head_bias_init(class_freq: np.ndarray) -> np.ndarray:

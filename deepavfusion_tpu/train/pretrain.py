@@ -21,6 +21,8 @@ from . import lr_sched, trainer
 class PretrainConfig:
     image_backbone: str = "vit_base"
     audio_backbone: str = "vit_base"
+    image_depth: Optional[int] = None      # test-only depth override
+    audio_depth: Optional[int] = None
     image_size: int = 224
     audio_mels: int = 128
     audio_frames: int = 192          # int(audio_dur * 64), train.py:65
@@ -58,9 +60,11 @@ class PretrainConfig:
 
 
 def build_model(cfg: PretrainConfig) -> avmae_mod.AVMAE:
+    extra_i = {"depth": cfg.image_depth} if cfg.image_depth else {}
+    extra_a = {"depth": cfg.audio_depth} if cfg.audio_depth else {}
     enc = trunk_mod.DeepAVFusionConfig(
-        image=vit_config(cfg.image_backbone, (cfg.image_size, cfg.image_size), 3),
-        audio=vit_config(cfg.audio_backbone, (cfg.audio_mels, cfg.audio_frames), 1),
+        image=vit_config(cfg.image_backbone, (cfg.image_size, cfg.image_size), 3, **extra_i),
+        audio=vit_config(cfg.audio_backbone, (cfg.audio_mels, cfg.audio_frames), 1, **extra_a),
         fusion_arch=cfg.fusion_arch,
         fusion_layers=cfg.fusion_layers,
         num_fusion_tkns=tuple(cfg.num_fusion_tkns),

@@ -60,12 +60,12 @@ def main_worker(args) -> dict:
     model = AVSegmSimple(enc_cfg, num_classes=ncls, dtype=dtype)
 
     mels, frames = args.data.audio_mels, int(args.data.audio_dur * 64)
-    img0 = jnp.zeros((1, args.data.image_size, args.data.image_size, 3))
-    aud0 = jnp.zeros((1, mels, frames, 1))
-    gt0 = (jnp.zeros((1, args.data.image_size, args.data.image_size), jnp.float32)
-           if ncls == 1 else
-           jnp.zeros((1, args.data.image_size, args.data.image_size), jnp.int32))
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        img0 = jnp.zeros((1, args.data.image_size, args.data.image_size, 3))
+        aud0 = jnp.zeros((1, mels, frames, 1))
+        gt0 = (jnp.zeros((1, args.data.image_size, args.data.image_size), jnp.float32)
+               if ncls == 1 else
+               jnp.zeros((1, args.data.image_size, args.data.image_size), jnp.int32))
         variables = model.init(jax.random.key(0), img0, aud0, gt0, train=True)
     params = dict(variables["params"])
     batch_stats = variables["batch_stats"]

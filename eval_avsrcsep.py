@@ -22,7 +22,7 @@ from eval_linprobe import build_encoder_cfg, load_encoder_checkpoint
 
 def synthetic_srcsep_loader(batch, steps, image_size, mels, frames, rate=16000,
                             dur=3.0, seed=0, with_waveforms=False):
-    from deepavfusion_tpu.ops import audio as audio_ops
+    from deepavfusion_tpu.data.transforms import log_mel_np
 
     rng = np.random.RandomState(seed)
     n = int(rate * dur)
@@ -33,8 +33,7 @@ def synthetic_srcsep_loader(batch, steps, image_size, mels, frames, rate=16000,
               + 0.05 * rng.randn(n)).astype(np.float32)[None].repeat(batch, 0)
         w2 = (0.4 * np.sin(2 * np.pi * rng.uniform(1500, 4000) * t)
               + 0.05 * rng.randn(n)).astype(np.float32)[None].repeat(batch, 0)
-        mel = lambda w: np.asarray(
-            audio_ops.log_mel(jnp.asarray(w), rate, dur, n_mels=mels))
+        mel = lambda w: log_mel_np(w, rate, n_mels=mels)
         out = {
             "image": rng.randn(batch, image_size, image_size, 3).astype(np.float32),
             "audio": mel(w1)[..., None],                 # target source spec
@@ -49,19 +48,23 @@ def synthetic_srcsep_loader(batch, steps, image_size, mels, frames, rate=16000,
 def separate_waveform(mix_waveform: np.ndarray, pred_mask_logits: np.ndarray,
                       rate: int, mels: int) -> np.ndarray:
     """SpectrogramMasking parity: sigmoid mask (mels, 192) → pad one frame →
-    mel→linear lift → complex-STFT multiply → ISTFT (reference :272-277)."""
+    mel→linear lift → complex-STFT multiply → ISTFT (reference :272-277).
+
+    Runs on the host CPU backend — this is the reference's CPU DSP path, and
+    complex FFT is unimplemented on the axon TPU backend anyway.
+    """
     from deepavfusion_tpu.ops import audio as audio_ops
 
     n_fft = int(rate * 0.05)
     hop = int(rate / 64)
     mask = 1.0 / (1.0 + np.exp(-np.asarray(pred_mask_logits, np.float32)))
     mask = np.concatenate([mask, np.zeros(mask.shape[:-1] + (1,), np.float32)], -1)
-    lin = np.asarray(audio_ops.mel_to_linear(jnp.asarray(mask), rate, n_fft))
-    spec = np.asarray(audio_ops.spectrogram(jnp.asarray(mix_waveform), n_fft, hop,
-                                            power=None))
-    rec = audio_ops.inverse_spectrogram(
-        jnp.asarray(lin * spec), mix_waveform.shape[-1], n_fft, hop
-    )
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        lin = np.asarray(audio_ops.mel_to_linear(jnp.asarray(mask), rate, n_fft))
+        spec = np.asarray(audio_ops.spectrogram(
+            jnp.asarray(mix_waveform), n_fft, hop, power=None))
+        rec = audio_ops.inverse_spectrogram(
+            jnp.asarray(lin * spec), mix_waveform.shape[-1], n_fft, hop)
     return np.asarray(rec)
 
 
@@ -92,9 +95,9 @@ def main_worker(args) -> dict:
                      binary_mask=args.avss.binary_mask, dtype=dtype)
 
     mels, frames = args.data.audio_mels, int(args.data.audio_dur * 64)
-    img0 = jnp.zeros((1, args.data.image_size, args.data.image_size, 3))
-    aud0 = jnp.zeros((1, mels, frames, 1))
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        img0 = jnp.zeros((1, args.data.image_size, args.data.image_size, 3))
+        aud0 = jnp.zeros((1, mels, frames, 1))
         variables = model.init(jax.random.key(0), img0, aud0, aud0, train=True)
     params = dict(variables["params"])
     batch_stats = variables["batch_stats"]

@@ -71,12 +71,14 @@ def main_worker(args) -> dict:
     lr = args.opt.lr if args.opt.lr else args.opt.blr * eff_batch / 256
     dtype = jnp.bfloat16 if args.opt.get("dtype") == "bfloat16" else jnp.float32
 
+    extra_v = {"depth": args.model.video["depth"]} if args.model.video.get("depth") else {}
+    extra_a = {"depth": args.model.audio["depth"]} if args.model.audio.get("depth") else {}
     cfg = VideoEarlyFusionConfig(
         video=video_vit_config(args.model.video.backbone,
                                (num_frames, size, size), 3,
-                               drop_path=float(args.opt.drop_path or 0.0)),
+                               drop_path=float(args.opt.drop_path or 0.0), **extra_v),
         audio=vit_config(args.model.audio.backbone, (mels, frames), 1,
-                         drop_path=float(args.opt.drop_path or 0.0)),
+                         drop_path=float(args.opt.drop_path or 0.0), **extra_a),
         fusion_layers=args.model.fusion.layers,
         num_fusion_tkns=(args.model.fusion.num_fusion_tkns,
                          args.model.fusion.num_aggr_visual_tkns,
@@ -87,9 +89,9 @@ def main_worker(args) -> dict:
     )
     model = AVSyncClassifier(cfg, dtype=dtype)
 
-    v0 = jnp.zeros((1, num_frames, size, size, 3))
-    a0 = jnp.zeros((1, mels, frames, 1))
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        v0 = jnp.zeros((1, num_frames, size, size, 3))
+        a0 = jnp.zeros((1, mels, frames, 1))
         params = dict(model.init(jax.random.key(0), v0, a0)["params"])
 
     steps_per_epoch = float(args.data.get("steps_per_epoch", 100 if args.debug else 1000)) / args.opt.accum_iter

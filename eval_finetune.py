@@ -45,9 +45,9 @@ def main_worker(args) -> dict:
     model = AVClassifier(build_encoder_cfg(args), ncls, freeze_encoder=False,
                          input_norm=False, dtype=dtype)
 
-    img0 = jnp.zeros((1, args.data.image_size, args.data.image_size, 3))
-    aud0 = jnp.zeros((1, args.data.audio_mels, int(args.data.audio_dur * 64), 1))
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        img0 = jnp.zeros((1, args.data.image_size, args.data.image_size, 3))
+        aud0 = jnp.zeros((1, args.data.audio_mels, int(args.data.audio_dur * 64), 1))
         params = dict(model.init(jax.random.key(0), img0, aud0)["params"])
     params, _ = load_encoder_checkpoint(params, args)
 
@@ -75,8 +75,8 @@ def main_worker(args) -> dict:
 
     smoothing = float(args.opt.smoothing or 0.0)
     use_mixup = float(args.data.get("mixup", 0.0) or 0.0) > 0.0
-    cf = jnp.asarray(class_freq)
-    seen = np.asarray(class_freq) > 0
+    cf = np.asarray(class_freq)            # host-side: static seen-mask
+    seen = cf > 0
 
     def loss_fn(p, batch, key):
         image, audio = batch["image"], batch["audio"]

@@ -18,6 +18,28 @@ import numpy as np
 
 def build_encoder_cfg(args):
     from deepavfusion_tpu.models import deepavfusion as trunk_mod
+    from deepavfusion_tpu.models.vit import vit_config
+
+    # optional depth override (model.image.depth / model.audio.depth) for
+    # fast smoke tests — absent from the reference flag surface
+    extra_i = {"depth": args.model.image["depth"]} if args.model.image.get("depth") else {}
+    extra_a = {"depth": args.model.audio["depth"]} if args.model.audio.get("depth") else {}
+    if extra_i or extra_a:
+        cfg = trunk_mod.DeepAVFusionConfig(
+            image=vit_config(args.model.image.backbone,
+                             (args.data.image_size, args.data.image_size), 3, **extra_i),
+            audio=vit_config(args.model.audio.backbone,
+                             (args.data.audio_mels, int(args.data.audio_dur * 64)), 1, **extra_a),
+            fusion_arch=args.model.fusion.arch,
+            fusion_layers=args.model.fusion.layers,
+            num_fusion_tkns=(args.model.fusion.num_fusion_tkns,
+                             args.model.fusion.num_aggr_image_tkns,
+                             args.model.fusion.num_aggr_audio_tkns),
+            fusion_mlp_ratio=args.model.fusion.mlp_ratio,
+            fusion_attn_ratio=args.model.fusion.attn_ratio,
+            fusion_num_heads=args.model.fusion.num_heads,
+        )
+        return cfg
 
     return trunk_mod.config_from_args(
         image_arch=args.model.image.backbone,
@@ -102,9 +124,9 @@ def main_worker(args) -> dict:
     model = AVClassifier(build_encoder_cfg(args), ncls, freeze_encoder=True,
                          input_norm=True, dtype=dtype)
 
-    img0 = jnp.zeros((1, args.data.image_size, args.data.image_size, 3))
-    aud0 = jnp.zeros((1, args.data.audio_mels, int(args.data.audio_dur * 64), 1))
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        img0 = jnp.zeros((1, args.data.image_size, args.data.image_size, 3))
+        aud0 = jnp.zeros((1, args.data.audio_mels, int(args.data.audio_dur * 64), 1))
         variables = model.init(jax.random.key(0), img0, aud0, train=True)
     params, batch_stats = dict(variables["params"]), variables["batch_stats"]
     params, _ = load_encoder_checkpoint(params, args)

@@ -1,0 +1,116 @@
+"""End-to-end entry-point tests on the virtual 8-device CPU mesh.
+
+Each task entry runs main_worker() with a tiny config on synthetic data:
+one debug epoch of sharded train steps + the eval pass + checkpointing.
+This is the multi-chip validation path (SURVEY.md §4): same pjit programs,
+8 virtual devices.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from deepavfusion_tpu.config import load_config
+
+# The conv-heavy entries compile slowly on the CPU backend; run them in the
+# default suite only when RUN_SLOW_TESTS=1 (CI/driver keeps the fast core).
+slow = pytest.mark.skipif(
+    os.environ.get("RUN_SLOW_TESTS", "0") != "1",
+    reason="slow entry smoke (set RUN_SLOW_TESTS=1)",
+)
+
+TINY = [
+    "model.image.backbone=vit_small",
+    "model.audio.backbone=vit_small",
+    "model.image.depth=2",
+    "model.audio.depth=2",
+    "model.fusion.num_heads=6",
+    "opt.batch_size=8",
+    "opt.epochs=1",
+    "opt.accum_iter=2",
+    "data.image_size=32",
+    "data.audio_mels=16",
+    "data.audio_dur=0.75",   # 48-frame mel → 16x48 grid 1x3
+    "debug=true",
+    "log.print_freq=1",
+    "log.save_freq=1",
+    "opt.dtype=float32",
+]
+
+
+def run_entry(module_name, config_name, tmp_path, extra=()):
+    import importlib
+
+    mod = importlib.import_module(module_name)
+    args = load_config(config_name,
+                       overrides=TINY + [f"output_dir={tmp_path}"] + list(extra))
+    return mod.main_worker(args)
+
+
+def test_linprobe_entry(tmp_path):
+    stats = run_entry("eval_linprobe", "linprobe", tmp_path)
+    assert "val_acc1_all" in stats
+    assert np.isfinite(stats["val_acc1_all"])
+
+
+@slow
+def test_finetune_entry(tmp_path):
+    stats = run_entry("eval_finetune", "finetune", tmp_path)
+    assert "val_acc1_all" in stats
+
+
+@slow
+def test_avsegm_entry(tmp_path):
+    stats = run_entry("eval_avsegm", "avsegm", tmp_path)
+    assert "miou" in stats
+
+
+@slow
+def test_avsrcsep_entry(tmp_path):
+    stats = run_entry("eval_avsrcsep", "avsrcsep", tmp_path,
+                      extra=["opt.batch_size=8"])
+    assert "sdr" in stats
+    assert np.isfinite(stats["sdr"])
+
+
+def test_avsync_entry(tmp_path):
+    stats = run_entry(
+        "eval_avsync", "avsync", tmp_path,
+        extra=["model.video.backbone=video_vit_small", "model.video.depth=2",
+               "data.num_frames=4", "data.crop_size=32"],
+    )
+    assert "val_sync_acc" in stats
+
+
+def test_pretrain_entry(tmp_path):
+    import importlib
+
+    mod = importlib.import_module("train")
+    args = load_config(
+        "deepavfusion",
+        overrides=TINY + [f"output_dir={tmp_path}",
+                          "model.image.decoder_depth=1",
+                          "model.audio.decoder_depth=1"],
+    )
+    stats = mod.main_worker(args)
+    assert "loss" in stats and np.isfinite(stats["loss"])
+
+
+def test_pretrain_resume(tmp_path):
+    """Checkpoint-resume contract: a second run continues from epoch 1."""
+    import importlib
+
+    mod = importlib.import_module("train")
+    overrides = TINY + [f"output_dir={tmp_path}", "opt.epochs=2",
+                        "model.image.decoder_depth=1",
+                        "model.audio.decoder_depth=1"]
+    args = load_config("deepavfusion", overrides=overrides)
+    mod.main_worker(args)
+    # second invocation must resume past epoch 2 and do nothing
+    args2 = load_config("deepavfusion", overrides=overrides)
+    mod.main_worker(args2)
+    ckpts = sorted((tmp_path / args.job_name / "checkpoints").glob("checkpoint_*"))
+    assert any("latest" in str(c) for c in ckpts)

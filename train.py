@@ -37,6 +37,8 @@ def main_worker(args) -> dict:
     cfg = pretrain.PretrainConfig(
         image_backbone=args.model.image.backbone,
         audio_backbone=args.model.audio.backbone,
+        image_depth=args.model.image.get("depth"),
+        audio_depth=args.model.audio.get("depth"),
         image_size=args.data.image_size,
         audio_mels=args.data.audio_mels,
         audio_frames=int(args.data.audio_dur * 64),
