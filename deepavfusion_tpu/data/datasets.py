@@ -471,6 +471,100 @@ def get_avsbench_avss(data_path, partition="train", **kwargs):
         label_fix=lambda n: n.replace("off-the-screen", "background"), **kwargs)
 
 
+class ImageAudioDataset:
+    """Image + wav pairs (reference datasets.py:376-510): center audio window,
+    optional waveform mixtures, class-balanced resampling, per-sample
+    annotation loader (e.g. Flickr-SoundNet XML bboxes)."""
+
+    def __init__(self, data_path, image_files, audio_files,
+                 audio_dur=3.0, audio_rate=16000, num_mixtures=1,
+                 visual_transform=None, audio_transform=None,
+                 anno_files=None, anno_loader=None,
+                 class_labels=None, class_desc=None,
+                 class_resample=0, oversample=None, **_):
+        self.data_path = data_path
+        self.image_files = image_files
+        self.audio_files = audio_files
+        self.anno_files = anno_files
+        self.anno_loader = anno_loader
+        self.class_labels = class_labels
+        self.class_desc = class_desc
+        self.audio_dur = audio_dur
+        self.audio_rate = audio_rate
+        self.num_mixtures = num_mixtures
+        self.visual_transform = visual_transform
+        self.audio_transform = audio_transform
+        self.oversample = int(oversample) if oversample else 1
+
+        self.class_resample = class_resample
+        if class_resample:
+            self.class2samples = defaultdict(list)
+            for idx, lbl in enumerate(class_labels):
+                for l in lbl if isinstance(lbl, (list, tuple)) else [lbl]:
+                    self.class2samples[l].append(idx)
+            self.class_keys = sorted(self.class2samples)
+
+    def _sample_idx(self, idx):
+        idx = idx % len(self.image_files)
+        if self.class_resample:
+            lbl = random.choice(self.class_keys)
+            idx = random.choice(self.class2samples[lbl])
+        return idx
+
+    def _read_pair(self, image_fn, audio_fn, anno=None):
+        frame = Image.open(image_fn).convert("RGB")
+        if anno is not None and "gt_map" in anno:
+            gt = Image.fromarray((np.asarray(anno["gt_map"]) * 255).astype(np.uint8))
+            frame, (gt,) = self.visual_transform(frame, labels=(gt,))
+            anno["gt_map"] = np.asarray(gt, np.float32) / 255.0
+        else:
+            frame = self.visual_transform(frame)
+            if isinstance(frame, tuple):
+                frame = frame[0]
+
+        areader = avreader.AudioReader(audio_fn, rate=self.audio_rate)
+        start = max((areader.duration - self.audio_dur) / 2, 0.0)
+        wav = areader.read(start, start + self.audio_dur)
+        areader.close()
+        mel = self.audio_transform(wav)[0][..., None]
+        return frame, mel, wav
+
+    def __len__(self):
+        return len(self.image_files) * self.oversample
+
+    def __getitem__(self, idx):
+        idx = self._sample_idx(idx)
+        anno = {"file_id": self.image_files[idx].split(".")[0]}
+        if self.class_labels is not None:
+            lbl = self.class_labels[idx]
+            if isinstance(lbl, (list, tuple)):
+                lbl = _one_hot_multi(lbl, len(self.class_desc))
+            anno["class"] = lbl
+        if self.anno_files is not None and self.anno_loader is not None:
+            anno.update(self.anno_loader(f"{self.data_path}/{self.anno_files[idx]}"))
+
+        frame, mel, wav = self._read_pair(
+            f"{self.data_path}/{self.image_files[idx]}",
+            f"{self.data_path}/{self.audio_files[idx]}", anno)
+        out = {"image": np.asarray(frame, np.float32),
+               "audio": mel.astype(np.float32), **anno}
+
+        if self.num_mixtures > 1:
+            waves, frames = [wav], [np.asarray(frame, np.float32)]
+            others = [r for r in range(len(self.image_files)) if r != idx]
+            for m in np.random.choice(others, self.num_mixtures - 1, replace=False):
+                f2, _, w2 = self._read_pair(
+                    f"{self.data_path}/{self.image_files[m]}",
+                    f"{self.data_path}/{self.audio_files[m]}")
+                waves.append(w2)
+                frames.append(np.asarray(f2, np.float32))
+            mix = np.stack(waves).sum(0)
+            out["mixed_audio"] = self.audio_transform(mix)[0][..., None].astype(np.float32)
+            out["waveforms"] = np.stack([w[0] for w in waves]).astype(np.float32)
+            out["frames"] = np.stack(frames)
+        return out
+
+
 def flickr_anno_parser(fn):
     import xml.etree.ElementTree as ET
 
@@ -485,15 +579,18 @@ def flickr_anno_parser(fn):
 
 def load_flickr_soundnet(data_path, partition="val", metadata_dir="metadata",
                          **kwargs):
+    """Flickr-SoundNet sound-localization eval set (reference :737-754)."""
     assert partition == "val"
     video_ids = [v for v, t in csv.reader(open(f"{metadata_dir}/flickr_test.csv"))]
-    return {
-        "frames": [f"frames/{v}.jpg" for v in video_ids],
-        "audio": [f"audio/{v}.wav" for v in video_ids],
-        "annos": [f"Annotations/{v}.xml" for v in video_ids],
-        "parser": flickr_anno_parser,
-        "data_path": data_path,
-    }
+    kwargs.pop("dataset", None)
+    return ImageAudioDataset(
+        data_path,
+        image_files=[f"frames/{v}.jpg" for v in video_ids],
+        audio_files=[f"audio/{v}.wav" for v in video_ids],
+        anno_files=[f"Annotations/{v}.xml" for v in video_ids],
+        anno_loader=flickr_anno_parser,
+        **kwargs,
+    )
 
 
 DATASET_TYPES = {

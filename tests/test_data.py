@@ -208,3 +208,66 @@ def test_retry_on_corrupt_sample(vggsound_root, tmp_path):
     db.video_files = ["nonexistent/broken.mp4"] + list(db.video_files[1:])
     s = db[0]
     assert s["image"].shape == (32, 32, 3)
+
+
+@pytest.fixture(scope="module")
+def flickr_root(tmp_path_factory):
+    """Flickr-SoundNet layout: frames/*.jpg + audio/*.wav + Annotations/*.xml."""
+    root = tmp_path_factory.mktemp("flickr")
+    meta = tmp_path_factory.mktemp("metadata")
+    (root / "frames").mkdir()
+    (root / "audio").mkdir()
+    (root / "Annotations").mkdir()
+    rows = []
+    for i in range(3):
+        vid = f"fl{i}"
+        Image.fromarray(np.full((256, 256, 3), 50 * i, np.uint8)).save(
+            root / "frames" / f"{vid}.jpg")
+        rate = 16000
+        t = np.arange(rate * 4) / rate
+        tone = (0.4 * np.sin(2 * np.pi * (300 + 100 * i) * t) * 32767).astype(np.int16)
+        with wave.open(str(root / "audio" / f"{vid}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(tone.tobytes())
+        (root / "Annotations" / f"{vid}.xml").write_text(
+            "<annotation><object><name>x</name><bbox>"
+            "<c>1</c><xmin>64</xmin><ymin>64</ymin><xmax>192</xmax><ymax>192</ymax>"
+            "</bbox></object></annotation>")
+        rows.append([vid, "0"])
+    with open(meta / "flickr_test.csv", "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    return str(root), str(meta)
+
+
+def test_flickr_soundnet_dataset(flickr_root):
+    root, meta = flickr_root
+    db = datasets.load_flickr_soundnet(
+        root, partition="val", metadata_dir=meta,
+        visual_transform=transforms.ImageEvalTransform(224, resize_factor=1.0),
+        audio_transform=transforms.AudioEvalTransform(16000, 3.0, 64),
+        audio_dur=3.0, audio_rate=16000,
+    )
+    assert len(db) == 3
+    s = db[0]
+    assert s["image"].shape == (224, 224, 3)
+    assert s["audio"].shape == (64, 192, 1)
+    assert s["gt_map"].shape == (224, 224)
+    # consensus bbox map is 0.5 inside the single box (clip(1/2))
+    assert abs(s["gt_map"][112, 112] - 0.5) < 0.02
+    assert s["gt_map"][5, 5] == 0.0
+
+
+def test_image_audio_mixture(flickr_root):
+    root, meta = flickr_root
+    db = datasets.load_flickr_soundnet(
+        root, partition="val", metadata_dir=meta,
+        visual_transform=transforms.ImageEvalTransform(64, resize_factor=1.0),
+        audio_transform=transforms.AudioEvalTransform(16000, 3.0, 64),
+        audio_dur=3.0, audio_rate=16000, num_mixtures=2,
+    )
+    s = db[0]
+    assert s["mixed_audio"].shape == (64, 192, 1)
+    assert s["waveforms"].shape == (2, 48000)
+    assert s["frames"].shape == (2, 64, 64, 3)

@@ -118,6 +118,16 @@ def main_worker(args) -> dict:
         print_freq=args.log.print_freq,
     )
 
+    # Online kNN retrieval probe (reference train.py:117,131-134)
+    knn_probe = build_knn_probe(model, cfg, args, mesh)
+
+    from deepavfusion_tpu.train.profiling import StepProfiler
+
+    profiler = StepProfiler(
+        log_dir=f"{job_dir}/profile",
+        num_steps=int(args.log.get("profile_steps", 0) or 0),
+    )
+
     epochs = int(args.opt.epochs)
     last = {}
     for epoch in range(start_epoch, epochs):
@@ -127,10 +137,12 @@ def main_worker(args) -> dict:
             logger.log_every(epoch_loader(epoch), args.log.print_freq, header)
         ):
             gstep = int(cfg.steps_per_epoch) * epoch + it
+            profiler.step_begin(gstep)
             batch = mesh_lib.shard_batch(batch, mesh)
             key = jax.random.fold_in(jax.random.key(args.env.seed or 0), gstep)
             state, m = step_fn(state, batch, key)
             m = {k: float(v) for k, v in m.items()}
+            profiler.step_end(gstep)
             m["lr"] = float(lr_fn(gstep))
             if not np.isfinite(m["loss"]):
                 raise RuntimeError(f"Loss is {m['loss']}, stopping training")
@@ -141,8 +153,52 @@ def main_worker(args) -> dict:
         logger.synchronize_between_processes()
         print(f"{header} Averaged stats: {logger}")
         last = logger.averages()
+
+        if knn_probe is not None and (
+            epoch % args.log.eval_freq == 0 or epoch == epochs - 1
+            or epoch == start_epoch
+        ):
+            knn_stats = knn_probe.evaluate(state.params, epoch=epoch)
+            wb.log(knn_stats, step=int(cfg.steps_per_epoch) * (epoch + 1), force=True)
+            last.update(knn_stats)
+
         ckpt.save(epoch + 1, jax.device_get(state))
     return last
+
+
+def build_knn_probe(model, cfg, args, mesh):
+    """kNN probe over the held-out set; synthetic fallback in debug runs."""
+    from deepavfusion_tpu.data import catalog, synthetic
+    from deepavfusion_tpu.train.knn_probe import EvalAVNNProbe
+
+    if not args.get("nn_probe"):
+        return None
+
+    def encode_fn(params, image, audio):
+        return model.apply(
+            {"params": params}, jnp.asarray(image), jnp.asarray(audio),
+            method=lambda m, i, a: m.encoder(i, a),
+        )
+
+    encode_jit = jax.jit(encode_fn)
+
+    if args.data.get("synthetic", True):
+        ncls = catalog.NUM_CLASSES.get(args.data.dataset, 10)
+
+        def loader_fn():
+            return synthetic.synthetic_loader(
+                max(args.opt.batch_size // 4, 2), 4, seed=12345,
+                image_size=cfg.image_size, audio_mels=cfg.audio_mels,
+                audio_frames=cfg.audio_frames, num_classes=ncls,
+            )
+    else:
+        from deepavfusion_tpu.data import pipeline
+
+        def loader_fn():
+            return pipeline.classification_loader(args, train=False)
+
+    multi = catalog.MULTI_CLASS_DBS.get(args.data.dataset, False)
+    return EvalAVNNProbe(encode_jit, loader_fn, multi_label=multi)
 
 
 def maybe_load_backbone_inits(params, args):
