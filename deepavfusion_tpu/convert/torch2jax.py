@@ -257,3 +257,43 @@ def assert_tree_matches(converted: dict, reference_tree: dict, path: str = "") -
                 raise ValueError(
                     f"at '{path}/{k}': shape {np.shape(c)} != expected {want}"
                 )
+
+
+def inflate_patch_embed_2d_to_3d(kernel_2d: np.ndarray, t: int) -> np.ndarray:
+    """Inflate a 2D patch-embed conv kernel (kh, kw, C, D) to a 3D tube kernel
+    (t, kh, kw, C, D) by temporal replication — the reference's video-model
+    adaptation of image checkpoints (models/video_vits.py:176-177,
+    video_earlyfusion.py:90-91: unsqueeze(2).repeat over the tube length)."""
+    return np.repeat(kernel_2d[None], t, axis=0)
+
+
+def video_vit(sd: Mapping, p: str = "", depth: int = 12, tube: int = 2) -> dict:
+    """Image-ViT or VideoViT state dict → VideoViT subtree, inflating the
+    patch embed when the source is 2D. Divided-space-time extras
+    (temporal_attn/temporal_fc/temporal_norm1) convert when present."""
+    pre = f"{p}." if p else ""
+    pk = f"{pre}patch_embed.proj.weight"
+    w = _np(sd[pk])
+    if w.ndim == 4:  # (D, C, kh, kw) → inflate to 3D tube
+        k2 = w.transpose(2, 3, 1, 0)
+        kernel = inflate_patch_embed_2d_to_3d(k2, tube)
+    else:  # (D, C, kt, kh, kw)
+        kernel = w.transpose(2, 3, 4, 1, 0)
+    tree: dict[str, Any] = {
+        "patch_embed": {"proj": {"kernel": kernel}},
+        "norm": layernorm(sd, f"{pre}norm"),
+    }
+    if f"{pk[:-7]}.bias" in sd:
+        tree["patch_embed"]["proj"]["bias"] = _np(sd[f"{pre}patch_embed.proj.bias"])
+    for i in range(depth):
+        bp = f"{pre}blocks.{i}"
+        blk = block(sd, bp)
+        if f"{bp}.temporal_attn.qkv.weight" in sd:
+            blk["temporal_norm1"] = layernorm(sd, f"{bp}.temporal_norm1")
+            blk["temporal_attn"] = {
+                "qkv": linear(sd, f"{bp}.temporal_attn.qkv"),
+                "proj": linear(sd, f"{bp}.temporal_attn.proj"),
+            }
+            blk["temporal_fc"] = linear(sd, f"{bp}.temporal_fc")
+        tree[f"blocks_{i}"] = blk
+    return tree

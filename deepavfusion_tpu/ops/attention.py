@@ -17,6 +17,10 @@ import jax.numpy as jnp
 
 
 def _on_tpu() -> bool:
+    import os
+
+    if os.environ.get("DAVF_NO_PALLAS"):  # A/B toggle for benchmarking
+        return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover

@@ -71,3 +71,19 @@ def sincos_3d(embed_dim: int, grid_size, thw_props=(2, 1, 1)) -> np.ndarray:
     emb_h = sincos_1d(h_dim, grid[1])
     emb_w = sincos_1d(w_dim, grid[2])
     return np.concatenate([emb_t, emb_h, emb_w], axis=1).astype(np.float32)
+
+
+def interpolate_2d(table: np.ndarray, old_grid, new_grid) -> np.ndarray:
+    """Bicubic interpolation of a (H*W, D) pos-embed table to a new grid
+    (reference util/pos_embed.py:98-119, used for hi-res transfer of learned
+    tables in external checkpoints; our own tables are regenerated instead)."""
+    import jax
+    import jax.numpy as jnp
+
+    oh, ow = old_grid
+    nh, nw = new_grid
+    d = table.shape[-1]
+    x = jnp.asarray(table.reshape(1, oh, ow, d), jnp.float32)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        y = jax.image.resize(x, (1, nh, nw, d), method="bicubic")
+    return np.asarray(y).reshape(nh * nw, d)

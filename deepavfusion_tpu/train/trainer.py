@@ -54,6 +54,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     data_axis: str = "data",
     donate: bool = True,
+    skip_nonfinite: bool = False,
 ):
     """Build the jitted train step.
 
@@ -107,8 +108,22 @@ def make_train_step(
             grads, metrics, ms = grads_one(state.params, batch, key, ms)
 
         gn = global_norm(grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        if skip_nonfinite:
+            # reference Trainer's skip_grad option (util/misc.py:81-104):
+            # a non-finite gradient skips the whole update, in-graph
+            ok = jnp.isfinite(gn)
+            grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+            updates, opt_state_new = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            params = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), params, state.params)
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old)
+                if hasattr(new, "shape") else new,
+                opt_state_new, state.opt_state)
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, model_state=ms)
         metrics = dict(metrics)

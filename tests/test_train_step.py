@@ -230,3 +230,80 @@ def test_adamw_decoupled_weight_decay_matches_torch():
     tw.grad = torch.from_numpy(g0.copy())
     opt.step()
     np.testing.assert_allclose(got, tw.detach().numpy(), atol=2e-6)
+
+
+def test_skip_nonfinite_grads():
+    import optax
+
+    def loss_bad(params, batch, key):
+        loss = (params["w"] * batch["x"]).sum()
+        return loss, {"loss": loss}
+
+    params = {"w": jnp.ones((2,))}
+    tx = optax.sgd(0.1)
+    state = trainer.TrainState.create(params, tx)
+    step = trainer.make_train_step(loss_bad, tx, accum_iter=1, donate=False,
+                                   skip_nonfinite=True)
+    # NaN input → NaN grads → update skipped, params unchanged
+    state2, m = step(state, {"x": jnp.asarray([jnp.nan, 1.0])}, jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(state2.params["w"]), [1.0, 1.0])
+    assert not np.isfinite(float(m["grad_norm"]))
+    # finite input → normal update
+    state3, _ = step(state2, {"x": jnp.asarray([1.0, 1.0])}, jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(state3.params["w"]), [0.9, 0.9])
+
+
+def test_pos_embed_interpolate_2d():
+    from deepavfusion_tpu.ops import pos_embed as pe
+
+    table = pe.sincos_2d(16, (4, 4))
+    out = pe.interpolate_2d(table, (4, 4), (8, 8))
+    assert out.shape == (64, 16)
+    # corner values approximately preserved
+    np.testing.assert_allclose(out[0], table[0], atol=0.2)
+
+
+def test_video_vit_converter_inflation():
+    import torch
+
+    from deepavfusion_tpu.convert import torch2jax as cvt
+    from deepavfusion_tpu.models import video_vit as vv
+
+    # build a 2D image-vit style state dict and convert for a video model
+    sd = {}
+    d, c = 48, 3
+    sd["patch_embed.proj.weight"] = torch.randn(d, c, 16, 16)
+    sd["patch_embed.proj.bias"] = torch.randn(d)
+    for i in range(2):
+        p = f"blocks.{i}"
+        sd[f"{p}.norm1.weight"] = torch.ones(d)
+        sd[f"{p}.norm1.bias"] = torch.zeros(d)
+        sd[f"{p}.attn.qkv.weight"] = torch.randn(3 * d, d)
+        sd[f"{p}.attn.qkv.bias"] = torch.zeros(3 * d)
+        sd[f"{p}.attn.proj.weight"] = torch.randn(d, d)
+        sd[f"{p}.attn.proj.bias"] = torch.zeros(d)
+        sd[f"{p}.norm2.weight"] = torch.ones(d)
+        sd[f"{p}.norm2.bias"] = torch.zeros(d)
+        sd[f"{p}.mlp.fc1.weight"] = torch.randn(4 * d, d)
+        sd[f"{p}.mlp.fc1.bias"] = torch.zeros(4 * d)
+        sd[f"{p}.mlp.fc2.weight"] = torch.randn(d, 4 * d)
+        sd[f"{p}.mlp.fc2.bias"] = torch.zeros(d)
+    sd["norm.weight"] = torch.ones(d)
+    sd["norm.bias"] = torch.zeros(d)
+
+    tree = cvt.video_vit(sd, "", depth=2, tube=2)
+    assert tree["patch_embed"]["proj"]["kernel"].shape == (2, 16, 16, 3, 48)
+    # temporal slices identical (replication)
+    k = tree["patch_embed"]["proj"]["kernel"]
+    np.testing.assert_array_equal(k[0], k[1])
+
+    cfg = vv.VideoViTConfig(input_size=(4, 32, 32), patch_size=(2, 16, 16),
+                            embed_dim=48, depth=2, num_heads=4)
+    model = vv.VideoViT(cfg)
+    x = jnp.zeros((1, 4, 32, 32, 3))
+    ref = model.init(jax.random.key(0), x)["params"]
+    from deepavfusion_tpu.convert.torch2jax import assert_tree_matches
+
+    assert_tree_matches(tree, jax.tree.map(np.shape, ref))
+    out = model.apply({"params": tree}, x)
+    assert np.isfinite(np.asarray(out)).all()
