@@ -307,3 +307,32 @@ def test_video_vit_converter_inflation():
     assert_tree_matches(tree, jax.tree.map(np.shape, ref))
     out = model.apply({"params": tree}, x)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_checkpoint_manager_roundtrip(tmp_path):
+    import optax
+
+    from deepavfusion_tpu.train.checkpoint import CheckpointManager
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((3,))}
+    tx = optax.adam(1e-3)
+    state = trainer.TrainState.create(params, tx)
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), save_freq=2)
+
+    mgr.save(1, state)
+    assert mgr.exists("latest")
+    mgr.save(2, state, is_best=True)          # periodic (freq 2) + best
+    assert mgr.exists("best")
+    assert (tmp_path / "ckpts" / "checkpoint_0002").exists()
+
+    template = trainer.TrainState.create(
+        {"w": jnp.zeros((2, 3)), "b": jnp.zeros((3,))}, tx)
+    restored, epoch = mgr.resume(template)
+    assert epoch == 2
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.asarray(params["w"]))
+
+    # resume with nothing present returns the template
+    mgr2 = CheckpointManager(str(tmp_path / "empty"), save_freq=2)
+    same, epoch0 = mgr2.resume(template)
+    assert epoch0 == 0
