@@ -56,11 +56,19 @@ def main():
     state, metrics = step_fn(state, batch_tree, jax.random.key(0))
     jax.block_until_ready(state)
 
+    # Time in small synced chunks: a fully async chain under-reports through
+    # the remote-dispatch tunnel; per-step sync over-reports (round-trip
+    # latency). Chunks of 5 amortize dispatch while forcing real execution.
+    chunk = 5
+    n_chunks = max(steps // chunk, 1)
     t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = step_fn(state, batch_tree, jax.random.key(i + 1))
-    jax.block_until_ready(state)
-    dt = (time.perf_counter() - t0) / steps
+    k = 1
+    for _ in range(n_chunks):
+        for _ in range(chunk):
+            state, metrics = step_fn(state, batch_tree, jax.random.key(k))
+            k += 1
+        jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / (n_chunks * chunk)
 
     clips_per_sec_per_chip = batch / dt / n_dev
     loss = float(metrics["loss"])

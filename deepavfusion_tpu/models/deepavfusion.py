@@ -164,18 +164,16 @@ class DeepAVFusion(nn.Module):
             blk_fusion = self.fusion_blocks[i]
             if blk_fusion is None:
                 if blk_image is not None:
-                    x_image = blk_image(x_image, deterministic=deterministic)
+                    x_image = blk_image(x_image, deterministic)
                 if blk_audio is not None:
-                    x_audio = blk_audio(x_audio, deterministic=deterministic)
+                    x_audio = blk_audio(x_audio, deterministic)
             else:
                 # fusion tokens as discarded self-attention context (quirk)
                 _x_image = blk_image(
-                    jnp.concatenate([x_fusion, x_image], axis=1),
-                    deterministic=deterministic,
+                    jnp.concatenate([x_fusion, x_image], axis=1), deterministic
                 )[:, nF:]
                 _x_audio = blk_audio(
-                    jnp.concatenate([x_fusion, x_audio], axis=1),
-                    deterministic=deterministic,
+                    jnp.concatenate([x_fusion, x_audio], axis=1), deterministic
                 )[:, nF:]
                 # fusion track updates from PRE-block modality states (quirk)
                 x_fusion = blk_fusion(

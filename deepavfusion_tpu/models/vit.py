@@ -35,6 +35,7 @@ class ViTConfig:
     attn_drop: float = 0.0
     drop: float = 0.0
     norm_eps: float = 1e-6  # reference vit ctors: partial(nn.LayerNorm, eps=1e-6)
+    remat: bool = False     # rematerialize blocks (trade FLOPs for HBM)
 
     @property
     def grid_size(self) -> tuple[int, int]:
@@ -80,8 +81,11 @@ class ViT(nn.Module):
             self.cls_token = self.param(
                 "cls_token", nn.initializers.normal(0.02), (1, 1, c.embed_dim)
             )
+        BlockCls = (
+            nn.remat(Block, static_argnums=(2,)) if c.remat else Block
+        )
         self.blocks = [
-            Block(
+            BlockCls(
                 c.num_heads, c.mlp_ratio, qkv_bias=True,
                 drop=c.drop, attn_drop=c.attn_drop, drop_path=c.drop_path,
                 norm_eps=c.norm_eps, dtype=self.dtype, name=f"blocks_{i}",
@@ -121,5 +125,5 @@ class ViT(nn.Module):
     ) -> jnp.ndarray:
         x = self.prepare_patch_tokens(x, ids_keep)
         for blk in self.blocks:
-            x = blk(x, deterministic=deterministic)
+            x = blk(x, deterministic)
         return self.norm(x)

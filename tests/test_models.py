@@ -302,3 +302,22 @@ def test_mae_loss_masked_only():
     pred2 = pred.at[:, 0].set(0.0)
     loss2 = avmae_mod.mae_loss(target, pred2, mask, norm_pix_loss=False)
     np.testing.assert_allclose(float(loss2), 0.0, atol=1e-6)
+
+
+def test_vit_remat_matches_plain():
+    """remat=True must be numerically identical to the plain forward/grad."""
+    import dataclasses
+
+    cfg = vit_config("vit_small", (32, 32), 3, depth=2, embed_dim=48, num_heads=4)
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    m0, m1 = ViT(cfg), ViT(cfg_r)
+    params = m0.init(jax.random.key(1), x)["params"]
+    y0 = m0.apply({"params": params}, x)
+    y1 = m1.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+    g0 = jax.grad(lambda p: (m0.apply({"params": p}, x) ** 2).sum())(params)
+    g1 = jax.grad(lambda p: (m1.apply({"params": p}, x) ** 2).sum())(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
