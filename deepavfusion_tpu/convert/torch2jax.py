@@ -297,3 +297,54 @@ def video_vit(sd: Mapping, p: str = "", depth: int = 12, tube: int = 2) -> dict:
             blk["temporal_fc"] = linear(sd, f"{bp}.temporal_fc")
         tree[f"blocks_{i}"] = blk
     return tree
+
+
+# --------------------------------------------------------------------------- #
+# Unrolled ↔ scanned trunk layouts (DeepAVFusionConfig.scan_layers)
+# --------------------------------------------------------------------------- #
+def stack_trunk(unrolled: dict, depth: int) -> dict:
+    """Unrolled trunk params (image/blocks_i, audio/blocks_i, fusion_blocks_i)
+    → scan layout: blocks stacked along a leading layer axis under
+    'layers/blk_{image,audio,fusion}'."""
+    import jax
+
+    def stacked(subtrees):
+        return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *subtrees)
+
+    out: dict[str, Any] = {
+        "image": {k: v for k, v in unrolled["image"].items()
+                  if not k.startswith("blocks_")},
+        "audio": {k: v for k, v in unrolled["audio"].items()
+                  if not k.startswith("blocks_")},
+        "fusion_tokens": unrolled["fusion_tokens"],
+        "fusion_norm": unrolled["fusion_norm"],
+        "layers": {
+            "blk_image": stacked([unrolled["image"][f"blocks_{i}"]
+                                  for i in range(depth)]),
+            "blk_audio": stacked([unrolled["audio"][f"blocks_{i}"]
+                                  for i in range(depth)]),
+            "blk_fusion": stacked([unrolled[f"fusion_blocks_{i}"]
+                                   for i in range(depth)]),
+        },
+    }
+    return out
+
+
+def unstack_trunk(scanned: dict, depth: int) -> dict:
+    """Inverse of stack_trunk."""
+    import jax
+
+    def slice_layer(tree, d):
+        return jax.tree.map(lambda x: np.asarray(x)[d], tree)
+
+    out: dict[str, Any] = {
+        "image": dict(scanned["image"]),
+        "audio": dict(scanned["audio"]),
+        "fusion_tokens": scanned["fusion_tokens"],
+        "fusion_norm": scanned["fusion_norm"],
+    }
+    for i in range(depth):
+        out["image"][f"blocks_{i}"] = slice_layer(scanned["layers"]["blk_image"], i)
+        out["audio"][f"blocks_{i}"] = slice_layer(scanned["layers"]["blk_audio"], i)
+        out[f"fusion_blocks_{i}"] = slice_layer(scanned["layers"]["blk_fusion"], i)
+    return out

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .fusion_blocks import FUSION_NORM_EPS, FusionBlock
-from .layers import Dtype, layer_norm
+from .layers import Block, Dtype, layer_norm
 from .vit import ViT, ViTConfig, vit_config
 
 
@@ -57,6 +57,13 @@ class DeepAVFusionConfig:
     drop_path: float = 0.0
     attn_drop: float = 0.0
     drop: float = 0.0
+    # Compile the per-layer trio ONCE and lax.scan over stacked layer params
+    # instead of unrolling max_depth copies — cuts XLA program size (and the
+    # remote-compile latency that dominates on tunneled TPUs) ~depth-fold.
+    # Requires uniform layers: fusion at every layer, equal encoder depths.
+    # Param layout changes (blocks live stacked under 'layers'); use
+    # convert.torch2jax.stack_trunk / unstack_trunk to translate.
+    scan_layers: bool = False
 
     @property
     def embed_dim(self) -> int:
@@ -101,6 +108,48 @@ def config_from_args(
     )
 
 
+class TrunkLayer(nn.Module):
+    """One interleave step: image block + audio block + fusion block, in the
+    reference's exact dataflow (discarded fusion context, pre-block fusion
+    update). Used as the scanned body when cfg.scan_layers."""
+
+    cfg: DeepAVFusionConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, deterministic: bool = True):
+        c = self.cfg
+        x_fusion, x_image, x_audio = carry
+        nF = c.total_fusion_tokens
+        blk_image = Block(
+            c.image.num_heads, c.image.mlp_ratio, qkv_bias=True,
+            drop=c.drop, attn_drop=c.attn_drop, drop_path=c.drop_path,
+            norm_eps=c.image.norm_eps, dtype=self.dtype, name="blk_image",
+        )
+        blk_audio = Block(
+            c.audio.num_heads, c.audio.mlp_ratio, qkv_bias=True,
+            drop=c.drop, attn_drop=c.attn_drop, drop_path=c.drop_path,
+            norm_eps=c.audio.norm_eps, dtype=self.dtype, name="blk_audio",
+        )
+        blk_fusion = FusionBlock(
+            arch=c.fusion_arch, num_heads=c.fusion_num_heads,
+            attn_ratio=c.fusion_attn_ratio, mlp_ratio=c.fusion_mlp_ratio,
+            fusion_tkns=c.num_fusion_tkns, qkv_bias=True,
+            drop=c.drop, attn_drop=c.attn_drop, drop_path=c.drop_path,
+            dtype=self.dtype, name="blk_fusion",
+        )
+        _x_image = blk_image(
+            jnp.concatenate([x_fusion, x_image], axis=1), deterministic
+        )[:, nF:]
+        _x_audio = blk_audio(
+            jnp.concatenate([x_fusion, x_audio], axis=1), deterministic
+        )[:, nF:]
+        x_fusion = blk_fusion(x_fusion, x_image, x_audio,
+                              deterministic=deterministic)
+        carry = (x_fusion, _x_image, _x_audio)
+        return carry, carry  # ys = per-layer states (return_embs)
+
+
 class DeepAVFusion(nn.Module):
     """The audio-visual trunk. __call__(image, audio[, ids_keep...]) →
     (x_image, x_audio, x_fusion[, embs])."""
@@ -110,32 +159,52 @@ class DeepAVFusion(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.image = ViT(c.image, dtype=self.dtype, name="image")
-        self.audio = ViT(c.audio, dtype=self.dtype, name="audio")
+        self.use_scan = bool(
+            c.scan_layers
+            and c.image.depth == c.audio.depth
+            and c.fusion_layer_set == frozenset(range(c.max_depth))
+        )
+        import dataclasses as _dc
+
+        vit_image_cfg = _dc.replace(c.image, depth=0) if self.use_scan else c.image
+        vit_audio_cfg = _dc.replace(c.audio, depth=0) if self.use_scan else c.audio
+        self.image = ViT(vit_image_cfg, dtype=self.dtype, name="image")
+        self.audio = ViT(vit_audio_cfg, dtype=self.dtype, name="audio")
         self.fusion_tokens = self.param(
             "fusion_tokens",
             nn.initializers.normal(0.02),
             (1, c.total_fusion_tokens, c.embed_dim),
         )
-        layers = c.fusion_layer_set
-        self.fusion_blocks = [
-            FusionBlock(
-                arch=c.fusion_arch,
-                num_heads=c.fusion_num_heads,
-                attn_ratio=c.fusion_attn_ratio,
-                mlp_ratio=c.fusion_mlp_ratio,
-                fusion_tkns=c.num_fusion_tkns,
-                qkv_bias=True,
-                drop=c.drop,
-                attn_drop=c.attn_drop,
-                drop_path=c.drop_path,
-                dtype=self.dtype,
-                name=f"fusion_blocks_{i}",
+        if self.use_scan:
+            ScanLayer = nn.scan(
+                TrunkLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=c.max_depth,
+                in_axes=(nn.broadcast,),
             )
-            if i in layers
-            else None
-            for i in range(c.max_depth)
-        ]
+            self.layers = ScanLayer(c, dtype=self.dtype, name="layers")
+            self.fusion_blocks = []
+        else:
+            layers = c.fusion_layer_set
+            self.fusion_blocks = [
+                FusionBlock(
+                    arch=c.fusion_arch,
+                    num_heads=c.fusion_num_heads,
+                    attn_ratio=c.fusion_attn_ratio,
+                    mlp_ratio=c.fusion_mlp_ratio,
+                    fusion_tkns=c.num_fusion_tkns,
+                    qkv_bias=True,
+                    drop=c.drop,
+                    attn_drop=c.attn_drop,
+                    drop_path=c.drop_path,
+                    dtype=self.dtype,
+                    name=f"fusion_blocks_{i}",
+                )
+                if i in layers
+                else None
+                for i in range(c.max_depth)
+            ]
         self.fusion_norm = layer_norm(FUSION_NORM_EPS, self.dtype, "fusion_norm")
 
     def __call__(
@@ -156,6 +225,21 @@ class DeepAVFusion(nn.Module):
         x_fusion = jnp.broadcast_to(
             self.fusion_tokens.astype(x_image.dtype), (B, nF, self.cfg.embed_dim)
         )
+
+        if self.use_scan:
+            (x_fusion, x_image, x_audio), ys = self.layers(
+                (x_fusion, x_image, x_audio), deterministic
+            )
+            x_image_out = self.image.norm(x_image)
+            x_audio_out = self.audio.norm(x_audio)
+            x_fusion_out = self.fusion_norm(x_fusion)
+            if return_embs:
+                yf, yi, ya = ys
+                embs = tuple(
+                    (yi[d], ya[d], yf[d]) for d in range(self.cfg.max_depth)
+                )
+                return x_image_out, x_audio_out, x_fusion_out, embs
+            return x_image_out, x_audio_out, x_fusion_out
 
         embs = []
         for i in range(self.cfg.max_depth):

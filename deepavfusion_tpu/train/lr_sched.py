@@ -99,9 +99,11 @@ def pretrained_mask(params, image_pt: bool = True, audio_pt: bool = True):
     (reference param_groups_pretrained, util/lr_sched.py:77-93)."""
 
     def fn(path, v):
-        if image_pt and ("encoder/image/" in path or path.startswith("image/")):
+        if image_pt and ("encoder/image/" in path or path.startswith("image/")
+                         or "layers/blk_image/" in path):
             return True
-        if audio_pt and ("encoder/audio/" in path or path.startswith("audio/")):
+        if audio_pt and ("encoder/audio/" in path or path.startswith("audio/")
+                         or "layers/blk_audio/" in path):
             return True
         return False
 

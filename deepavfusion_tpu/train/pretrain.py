@@ -23,6 +23,7 @@ class PretrainConfig:
     audio_backbone: str = "vit_base"
     image_depth: Optional[int] = None      # test-only depth override
     audio_depth: Optional[int] = None
+    scan_layers: bool = False              # lax.scan over layer trios
     image_size: int = 224
     audio_mels: int = 128
     audio_frames: int = 192          # int(audio_dur * 64), train.py:65
@@ -71,6 +72,7 @@ def build_model(cfg: PretrainConfig) -> avmae_mod.AVMAE:
         fusion_mlp_ratio=cfg.fusion_mlp_ratio,
         fusion_attn_ratio=cfg.fusion_attn_ratio,
         fusion_num_heads=cfg.fusion_num_heads,
+        scan_layers=cfg.scan_layers,
     )
     mae = avmae_mod.AVMAEConfig(
         encoder=enc,

@@ -184,3 +184,49 @@ def test_vit_from_mae_init_skips_decoder_keys():
     tree = cvt.vit_from_mae_init(sd, depth=3)
     assert "cls_token" not in tree
     assert set(tree) == {"patch_embed", "norm"} | {f"blocks_{i}" for i in range(3)}
+
+
+def test_scan_layers_matches_unrolled():
+    """scan_layers trunk with stacked params == unrolled trunk, bit-for-bit
+    (forward, masked forward, and per-layer embs)."""
+    import dataclasses
+
+    cfg = jax_cfg("factorized_mmi")
+    cfg_scan = dataclasses.replace(cfg, scan_layers=True)
+
+    m0 = trunk_mod.DeepAVFusion(cfg)
+    m1 = trunk_mod.DeepAVFusion(cfg_scan)
+
+    img = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    aud = jax.random.normal(jax.random.key(1), (2, 16, 48, 1))
+    p0 = m0.init(jax.random.key(2), img, aud)["params"]
+    p1 = cvt.stack_trunk(jax.tree.map(np.asarray, p0), depth=3)
+
+    # structural check vs a fresh scan init
+    ref = m1.init(jax.random.key(3), img, aud)["params"]
+    cvt.assert_tree_matches(p1, jax.tree.map(np.shape, ref))
+
+    y0 = m0.apply({"params": p0}, img, aud, return_embs=True)
+    y1 = m1.apply({"params": p1}, img, aud, return_embs=True)
+    for a, b in zip(y0[:3], y1[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for (ai, aa, af), (bi, ba, bf) in zip(y0[3], y1[3]):
+        np.testing.assert_allclose(np.asarray(ai), np.asarray(bi), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(af), np.asarray(bf), atol=1e-5)
+
+    # masked forward parity too
+    ik = jnp.asarray([[0, 2], [3, 1]], jnp.int32)
+    ak = jnp.asarray([[1], [0]], jnp.int32)
+    z0 = m0.apply({"params": p0}, img, aud, image_ids_keep=ik, audio_ids_keep=ak)
+    z1 = m1.apply({"params": p1}, img, aud, image_ids_keep=ik, audio_ids_keep=ak)
+    for a, b in zip(z0, z1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # roundtrip
+    back = cvt.unstack_trunk(p1, depth=3)
+    for (ka, va), (kb, vb) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(jax.tree.map(np.asarray, p0)),
+               key=lambda kv: str(kv[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(back), key=lambda kv: str(kv[0])),
+    ):
+        np.testing.assert_array_equal(va, vb)

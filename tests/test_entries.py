@@ -114,3 +114,18 @@ def test_pretrain_resume(tmp_path):
     mod.main_worker(args2)
     ckpts = sorted((tmp_path / args.job_name / "checkpoints").glob("checkpoint_*"))
     assert any("latest" in str(c) for c in ckpts)
+
+
+def test_pretrain_entry_scan_layers(tmp_path):
+    """scan_layers pretraining end-to-end on the 8-device mesh."""
+    import importlib
+
+    mod = importlib.import_module("train")
+    args = load_config(
+        "deepavfusion",
+        overrides=TINY + [f"output_dir={tmp_path}", "model.scan_layers=true",
+                          "model.image.decoder_depth=1",
+                          "model.audio.decoder_depth=1"],
+    )
+    stats = mod.main_worker(args)
+    assert np.isfinite(stats["loss"])

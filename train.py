@@ -39,6 +39,7 @@ def main_worker(args) -> dict:
         audio_backbone=args.model.audio.backbone,
         image_depth=args.model.image.get("depth"),
         audio_depth=args.model.audio.get("depth"),
+        scan_layers=bool(args.model.get("scan_layers", False)),
         image_size=args.data.image_size,
         audio_mels=args.data.audio_mels,
         audio_frames=int(args.data.audio_dur * 64),
