@@ -59,3 +59,26 @@ def test_split_merge_heads_roundtrip():
     assert h.shape == (2, 4, 5, 6)
     back = attention.merge_heads(h)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_flash_attention_gradient_matches_xla():
+    """The train step differentiates through the Pallas kernel — its VJP must
+    match the XLA attention's gradients."""
+    from deepavfusion_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(1, 2, 24, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, 10, 16).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, 10, 16).astype(np.float32))
+    import jax
+
+    def loss_pallas(q, k, v):
+        return (flash_attention(q, k, v, interpret=True) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        return (attention.xla_attention(q, k, v) ** 2).sum()
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
