@@ -16,10 +16,20 @@ import jax
 import jax.numpy as jnp
 
 
-def _on_tpu() -> bool:
+def _use_pallas_default() -> bool:
+    """Pallas dispatch policy.
+
+    The fused kernels are correctness-tested (forward on real TPU; forward +
+    custom-VJP backward in interpret mode), but the backward kernel has not
+    yet been A/B-verified faster than XLA's fusion at these small sequence
+    lengths (≤324 tokens) on real hardware. Until then the default path is
+    XLA; set DAVF_PALLAS=1 to route all attention through the Pallas kernels.
+    """
     import os
 
-    if os.environ.get("DAVF_NO_PALLAS"):  # A/B toggle for benchmarking
+    if os.environ.get("DAVF_NO_PALLAS"):
+        return False
+    if not os.environ.get("DAVF_PALLAS"):
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -74,14 +84,11 @@ def dot_product_attention(
     if return_weights or bias is not None:
         return xla_attention(q, k, v, bias=bias, return_weights=return_weights, scale=scale)
     if use_pallas is None:
-        use_pallas = _on_tpu()
+        use_pallas = _use_pallas_default()
     if use_pallas:
-        try:
-            from .pallas.flash_attention import flash_attention
+        from .pallas.flash_attention import flash_attention
 
-            return flash_attention(q, k, v, scale=scale)
-        except Exception:
-            pass
+        return flash_attention(q, k, v, scale=scale)
     return xla_attention(q, k, v, scale=scale)
 
 

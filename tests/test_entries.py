@@ -76,6 +76,7 @@ def test_avsrcsep_entry(tmp_path):
     assert np.isfinite(stats["sdr"])
 
 
+@slow
 def test_avsync_entry(tmp_path):
     stats = run_entry(
         "eval_avsync", "avsync", tmp_path,
@@ -99,6 +100,7 @@ def test_pretrain_entry(tmp_path):
     assert "loss" in stats and np.isfinite(stats["loss"])
 
 
+@slow
 def test_pretrain_resume(tmp_path):
     """Checkpoint-resume contract: a second run continues from epoch 1."""
     import importlib
@@ -116,6 +118,7 @@ def test_pretrain_resume(tmp_path):
     assert any("latest" in str(c) for c in ckpts)
 
 
+@slow
 def test_pretrain_entry_scan_layers(tmp_path):
     """scan_layers pretraining end-to-end on the 8-device mesh."""
     import importlib
