@@ -20,7 +20,6 @@ import math
 import os
 import random
 from collections import defaultdict
-from typing import Callable, Optional, Sequence
 
 import numpy as np
 from PIL import Image

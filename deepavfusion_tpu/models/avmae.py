@@ -15,7 +15,6 @@ despite the "fixed" comment, and we match that behavior.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ mask, weighted BCE-with-logits (reference :136-155).
 """
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

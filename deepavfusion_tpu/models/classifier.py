@@ -13,8 +13,6 @@ the 'batch_stats' collection for eval.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

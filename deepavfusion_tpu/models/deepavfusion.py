@@ -18,7 +18,7 @@ layer loop unrolls with no dynamic control flow; per-layer embeddings
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -40,8 +40,6 @@ deepavfusion.py:50) in contrast to the ViT blocks' 1e-6.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

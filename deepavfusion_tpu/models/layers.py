@@ -11,7 +11,7 @@ norm1/norm2) so the checkpoint converter is a mechanical key map.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -56,17 +56,6 @@ class Mlp(nn.Module):
         x = nn.Dense(out_dim, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
-
-
-class LayerNorm(nn.Module):
-    """f32 LayerNorm with configurable eps (torch LayerNorm parity)."""
-
-    eps: float = 1e-6
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="ln")(x)
 
 
 def layer_norm(eps: float, dtype: Dtype, name: str) -> nn.LayerNorm:

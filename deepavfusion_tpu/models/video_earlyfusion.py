@@ -10,8 +10,6 @@ we provide the models plus an eval_avsync entry built on them.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -10,7 +10,7 @@ Differences from the reference that are deliberate TPU-first choices:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -10,8 +10,6 @@ lengths (≤ 324 tokens for the reference configs, SURVEY.md §5.7).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

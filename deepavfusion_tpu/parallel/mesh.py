@@ -11,7 +11,6 @@ DDP, SURVEY.md §2.2); the helpers accept richer shapes (e.g. ('data',
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax

@@ -9,9 +9,8 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
-from typing import Any, Optional
+from typing import Any
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

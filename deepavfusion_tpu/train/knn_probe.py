@@ -9,10 +9,8 @@ sharded encoder; the (small) gathered feature matrix is scored host-side.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Callable, Iterable, Optional
+from typing import Callable, Iterable
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 import builtins
 import datetime
 import json
-import os
 from pathlib import Path
 from typing import Optional
 

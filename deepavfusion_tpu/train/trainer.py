@@ -20,8 +20,6 @@ batches shaped (accum_iter * batch, ...) which the step reshapes to
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import Any, Callable, Optional
 
 import jax
