@@ -132,3 +132,23 @@ def test_pretrain_entry_scan_layers(tmp_path):
     )
     stats = mod.main_worker(args)
     assert np.isfinite(stats["loss"])
+
+
+def test_avloc_entry(tmp_path):
+    stats = run_entry("eval_avloc", "linprobe", tmp_path)
+    assert "ciou_0.5" in stats and "auc" in stats
+    assert 0 <= stats["auc"] <= 100
+
+
+def test_avloc_metrics():
+    from eval_avloc import auc_of_ciou, ciou
+
+    gt = np.zeros((16, 16), np.float32)
+    gt[4:12, 4:12] = 1.0
+    perfect = gt.copy()
+    assert ciou(perfect, gt) == 1.0
+    miss = np.zeros_like(gt)
+    miss[0:2, 0:2] = 1.0
+    assert ciou(miss, gt) < 0.05
+    assert auc_of_ciou(np.asarray([1.0, 1.0])) > 0.9
+    assert auc_of_ciou(np.asarray([0.0, 0.0])) < 0.1

@@ -321,3 +321,14 @@ def test_vit_remat_matches_plain():
     g1 = jax.grad(lambda p: (m1.apply({"params": p}, x) ** 2).sum())(params)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_vit_cls_token_path():
+    cfg = vit_config("vit_small", (32, 32), 3, depth=1, embed_dim=48,
+                     num_heads=4, use_cls_token=True)
+    model = ViT(cfg)
+    x = jnp.zeros((2, 32, 32, 3))
+    params = model.init(jax.random.key(0), x)["params"]
+    assert "cls_token" in params
+    out = model.apply({"params": params}, x)
+    assert out.shape == (2, 5, 48)  # 4 patches + cls

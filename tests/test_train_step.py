@@ -336,3 +336,34 @@ def test_checkpoint_manager_roundtrip(tmp_path):
     mgr2 = CheckpointManager(str(tmp_path / "empty"), save_freq=2)
     same, epoch0 = mgr2.resume(template)
     assert epoch0 == 0
+
+
+def test_batchnorm_global_stats_under_sharding():
+    """BatchNorm inside a batch-sharded jit computes GLOBAL batch statistics
+    (the SyncBatchNorm claim in models/classifier.py)."""
+    import flax.linen as nn
+    from deepavfusion_tpu.parallel import mesh as mesh_lib
+
+    class BN(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.BatchNorm(use_running_average=False, use_bias=False,
+                                use_scale=False, epsilon=1e-6)(x)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(16, 8).astype(np.float32) * 3 + 1.5
+    m = BN()
+    v = m.init(jax.random.key(0), jnp.asarray(x))
+
+    # single device
+    y0, st0 = m.apply(v, jnp.asarray(x), mutable=["batch_stats"])
+
+    # 8-device sharded batch
+    mesh = mesh_lib.make_mesh({"data": 8})
+    xs = mesh_lib.shard_batch({"x": x}, mesh)["x"]
+    fn = jax.jit(lambda var, xx: m.apply(var, xx, mutable=["batch_stats"]))
+    y1, st1 = fn(v, xs)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st0["batch_stats"]["BatchNorm_0"]["mean"]),
+        np.asarray(st1["batch_stats"]["BatchNorm_0"]["mean"]), atol=1e-6)
