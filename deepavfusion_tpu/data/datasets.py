@@ -86,11 +86,15 @@ class BaseVideoDataset:
     def __len__(self):
         return len(self.video_files) * self.oversample
 
-    def __getitem__(self, idx):
-        try:
-            return self.getitem(idx % len(self.video_files))
-        except Exception:
-            return self[random.randrange(len(self.video_files))]
+    def __getitem__(self, idx, _retries: int = 32):
+        # retry-a-random-other-sample policy (reference datasets.py:203-205),
+        # but bounded so a fully-broken dataset raises instead of recursing
+        for _ in range(_retries):
+            try:
+                return self.getitem(idx % len(self.video_files))
+            except Exception:
+                idx = random.randrange(len(self.video_files))
+        return self.getitem(idx % len(self.video_files))
 
     def __repr__(self):
         return (f"{type(self).__name__}\n  - Path: {self.base_path}\n"
@@ -301,7 +305,7 @@ class FolderVideoDataset:
     def __len__(self):
         return len(self.samples) * self.oversample
 
-    def __getitem__(self, idx):
+    def __getitem__(self, idx, _retries: int = 32):
         try:
             idx = idx % len(self.samples)
             if not self.dense:
@@ -319,7 +323,10 @@ class FolderVideoDataset:
                     "audio": np.stack(mels).astype(np.float32),
                     "gt_map": np.stack(segms), "file_id": fid}
         except Exception:
-            return self[random.randrange(len(self.samples))]
+            if _retries <= 0:
+                raise
+            return self.__getitem__(random.randrange(len(self.samples)),
+                                    _retries=_retries - 1)
 
 
 # --------------------------------------------------------------------------- #

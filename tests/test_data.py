@@ -271,3 +271,12 @@ def test_image_audio_mixture(flickr_root):
     assert s["mixed_audio"].shape == (64, 192, 1)
     assert s["waveforms"].shape == (2, 48000)
     assert s["frames"].shape == (2, 64, 64, 3)
+
+
+def test_retry_bounded_on_fully_broken_dataset():
+    db = datasets.VideoDataset(
+        base_path="/nonexistent", video_files=["a.mp4", "b.mp4"],
+        visual_transform=None, audio_transform=None,
+    )
+    with pytest.raises(Exception):
+        db[0]   # must raise, not recurse forever
