@@ -280,3 +280,39 @@ def test_retry_bounded_on_fully_broken_dataset():
     )
     with pytest.raises(Exception):
         db[0]   # must raise, not recurse forever
+
+
+def _pipeline_args(vggsound_root, **over):
+    from deepavfusion_tpu.config import load_config
+
+    overrides = [
+        "data.synthetic=false", f"data.data_path={vggsound_root}",
+        "data.dataset=vggsound", "opt.batch_size=2", "opt.accum_iter=1",
+        "env.workers=2", "data.audio_mels=64",
+    ] + [f"{k}={v}" for k, v in over.items()]
+    return load_config("deepavfusion", overrides=overrides)
+
+
+def test_pipeline_pretrain_loader(vggsound_root):
+    from deepavfusion_tpu.data import pipeline
+    from deepavfusion_tpu.train.pretrain import PretrainConfig
+
+    args = _pipeline_args(vggsound_root)
+    cfg = PretrainConfig(batch_size=2, accum_iter=1, audio_mels=64, image_size=224)
+    dl = pipeline.pretrain_loader(args, cfg, epoch=0)
+    batch = next(iter(dl))
+    assert batch["image"].shape == (2, 224, 224, 3)
+    assert batch["audio"].shape == (2, 64, 192, 1)
+
+
+def test_pipeline_classification_loader_and_class_dist(vggsound_root):
+    from deepavfusion_tpu.data import pipeline
+
+    args = _pipeline_args(vggsound_root)
+    dl = pipeline.classification_loader(args, train=True, epoch=0)
+    batch = next(iter(dl))
+    assert batch["image"].shape[0] == 2
+    assert "class" in batch
+
+    dist = pipeline.class_distribution(args)
+    assert dist.ndim == 1 and abs(dist.sum() - 1.0) < 1e-5
