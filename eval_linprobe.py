@@ -17,14 +17,17 @@ import numpy as np
 
 
 def build_encoder_cfg(args):
+    import dataclasses
+
     from deepavfusion_tpu.models import deepavfusion as trunk_mod
     from deepavfusion_tpu.models.vit import vit_config
 
+    scan = bool(args.model.get("scan_layers", False))
     # optional depth override (model.image.depth / model.audio.depth) for
     # fast smoke tests — absent from the reference flag surface
     extra_i = {"depth": args.model.image["depth"]} if args.model.image.get("depth") else {}
     extra_a = {"depth": args.model.audio["depth"]} if args.model.audio.get("depth") else {}
-    if extra_i or extra_a:
+    if extra_i or extra_a or scan:
         cfg = trunk_mod.DeepAVFusionConfig(
             image=vit_config(args.model.image.backbone,
                              (args.data.image_size, args.data.image_size), 3, **extra_i),
@@ -38,6 +41,7 @@ def build_encoder_cfg(args):
             fusion_mlp_ratio=args.model.fusion.mlp_ratio,
             fusion_attn_ratio=args.model.fusion.attn_ratio,
             fusion_num_heads=args.model.fusion.num_heads,
+            scan_layers=scan,
         )
         return cfg
 
@@ -71,15 +75,28 @@ def load_encoder_checkpoint(params, args):
                 f"checkpoint_{args.pretrain_resume_epoch}")
     if not path:
         return params, False
+    scan = bool(args.model.get("scan_layers", False))
+    depth = int(args.model.image.get("depth") or 12)
+
+    def adapt(tree):
+        # translate between the unrolled and scanned (stacked) trunk layouts
+        # as needed — checkpoints from either layout load into either model
+        from deepavfusion_tpu.convert.torch2jax import stack_trunk, unstack_trunk
+
+        if scan and "layers" not in tree:
+            tree = stack_trunk(jax.tree.map(np.asarray, tree), depth)
+        elif not scan and "layers" in tree:
+            tree = unstack_trunk(jax.tree.map(np.asarray, tree), depth)
+        return jax.tree.map(jnp.asarray, tree)
+
     if str(path).endswith(".pth"):
         from deepavfusion_tpu.convert import torch2jax as cvt
 
         sd = cvt.load_torch_state_dict(path)
-        depth = len([k for k in params["encoder"]["image"] if k.startswith("blocks_")])
         tree = cvt.deepavfusion(sd, args.encoder_prefix, depth, depth,
                                 args.model.fusion.arch)
         params = dict(params)
-        params["encoder"] = jax.tree.map(jnp.asarray, tree)
+        params["encoder"] = adapt(tree)
         print(f"Loaded pre-trained checkpoint: {path}")
         return params, True
     if os.path.exists(path):
@@ -88,7 +105,7 @@ def load_encoder_checkpoint(params, args):
         restored = ocp.StandardCheckpointer().restore(path)
         enc = restored["state"]["params"]["encoder"]
         params = dict(params)
-        params["encoder"] = jax.tree.map(jnp.asarray, enc)
+        params["encoder"] = adapt(enc)
         print(f"Loaded pre-trained checkpoint: {path}")
         return params, True
     print(f"WARNING: checkpoint {path} not found; probing a random encoder")
