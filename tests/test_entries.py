@@ -86,6 +86,7 @@ def test_avsync_entry(tmp_path):
     assert "val_sync_acc" in stats
 
 
+@slow
 def test_pretrain_entry(tmp_path):
     import importlib
 
