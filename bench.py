@@ -36,8 +36,11 @@ def main():
     n_dev = len(jax.devices())
     mesh = mesh_lib.make_mesh({"data": n_dev})
 
+    # scan_layers: the per-layer trio compiles once (lax.scan over stacked
+    # params) — bit-identical to the unrolled trunk (tested) and ~12x smaller
+    # XLA program, keeping the one-time remote compile tractable.
     cfg = pretrain.PretrainConfig(fusion_mlp_ratio=1.0, dtype=jnp.bfloat16,
-                                  steps_per_epoch=1000.0)
+                                  steps_per_epoch=1000.0, scan_layers=True)
     model = pretrain.build_model(cfg)
     params = pretrain.init_params(model, cfg, seed=0)
     _, state, step_fn, _ = pretrain.make_pretrain_step(
