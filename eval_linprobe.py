@@ -17,8 +17,6 @@ import numpy as np
 
 
 def build_encoder_cfg(args):
-    import dataclasses
-
     from deepavfusion_tpu.models import deepavfusion as trunk_mod
     from deepavfusion_tpu.models.vit import vit_config
 

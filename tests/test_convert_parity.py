@@ -230,3 +230,21 @@ def test_scan_layers_matches_unrolled():
         sorted(jax.tree_util.tree_leaves_with_path(back), key=lambda kv: str(kv[0])),
     ):
         np.testing.assert_array_equal(va, vb)
+
+
+@pytest.mark.parametrize("arch", ["token", "dense_mmi"])
+def test_scan_layers_other_archs(arch):
+    """scan trunk parity for the non-default fusion architectures."""
+    import dataclasses
+
+    cfg = dataclasses.replace(jax_cfg(arch), scan_layers=True)
+    m0 = trunk_mod.DeepAVFusion(jax_cfg(arch))
+    m1 = trunk_mod.DeepAVFusion(cfg)
+    img = jax.random.normal(jax.random.key(0), (1, 32, 32, 3))
+    aud = jax.random.normal(jax.random.key(1), (1, 16, 48, 1))
+    p0 = m0.init(jax.random.key(2), img, aud)["params"]
+    p1 = cvt.stack_trunk(jax.tree.map(np.asarray, p0), depth=3)
+    y0 = m0.apply({"params": p0}, img, aud)
+    y1 = m1.apply({"params": p1}, img, aud)
+    for a, b in zip(y0, y1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
