@@ -136,3 +136,20 @@ def test_mel_to_linear_shape():
     assert lin.shape == (1, 401, 193)
     fb = audio.mel_filterbank(401, 128, RATE)
     np.testing.assert_allclose(np.asarray(lin)[0, :, 0], fb.sum(1) * 0.5, rtol=1e-5)
+
+
+def test_random_vol_numpy_matches_jax_bounds():
+    from deepavfusion_tpu.data import transforms as T
+
+    wav = np.ones((1, 1000), np.float32) * 0.5
+    out = T.random_vol_np(wav)
+    # ±6 dB on 0.5: [0.25, 1.0] clipped
+    assert 0.24 <= out.max() <= 1.0
+
+
+def test_spectrogram_frame_count_formula():
+    # center=True: frames = T//hop + 1 for any length
+    for t in [16000, 48000, 12345]:
+        wav = jnp.zeros((1, t))
+        s = audio.spectrogram(wav, N_FFT, HOP, power=2.0)
+        assert s.shape[-1] == t // HOP + 1

