@@ -64,6 +64,23 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def host_gather(tree):
+    """Concatenate host-local numpy arrays across processes along axis 0.
+
+    The cross-process eval gather (reference ``concat_all_gather``,
+    util/distributed.py:114-127, used at eval_linprobe.py:242-246 and
+    util/knn_probe.py:108-111): every eval entry shards its val set per host
+    (data/loader.py), so predictions/features/labels must be gathered over
+    DCN before scoring, or each host would silently score its own shard.
+    No-op on single-process jobs.
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(tree, tiled=True)
+
+
 def process_count() -> int:
     return jax.process_count()
 

@@ -27,7 +27,12 @@ def extract_features(
         a_feats.append(np.asarray(xa.mean(axis=1), np.float32))
         mm_feats.append(np.asarray(xf.mean(axis=1), np.float32))
         labels.append(np.asarray(batch["label"]))
-    cat = lambda xs: np.concatenate(xs, axis=0)
+    from deepavfusion_tpu.parallel import mesh as mesh_lib
+
+    # cross-process feature gather (reference util/knn_probe.py:108-111):
+    # the loader shards the probe set per host, so each host's features must
+    # be all-gathered before the kNN search sees the full database.
+    cat = lambda xs: mesh_lib.host_gather(np.concatenate(xs, axis=0))
     return cat(v_feats), cat(a_feats), cat(mm_feats), cat(labels)
 
 

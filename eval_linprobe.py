@@ -236,9 +236,11 @@ def main_worker(args) -> dict:
             li, la, lf = eval_fn(state.params, state.model_state, batch)
             pi.append(np.asarray(li)), pa.append(np.asarray(la))
             pf.append(np.asarray(lf)), ys.append(np.asarray(batch["label"]))
+        # gather host-local preds/labels across processes before scoring
+        # (reference eval_linprobe.py:242-246 concat_all_gather)
+        cat = lambda xs: mesh_lib.host_gather(np.concatenate(xs))
         stats = classify.classification_eval_stats(
-            np.concatenate(pi), np.concatenate(pa), np.concatenate(pf),
-            np.concatenate(ys), multi_label,
+            cat(pi), cat(pa), cat(pf), cat(ys), multi_label,
         )
         print(f"[Eval][Ep-{epoch}] " + " | ".join(f"{k}={v:.2f}" for k, v in stats.items()))
         if args.get("eval") or args.debug:
