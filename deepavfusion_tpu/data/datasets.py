@@ -350,8 +350,21 @@ def get_vggsound(data_path, dataset=VideoDataset, partition="train", **kwargs):
                    class_labels=labels, class_desc=dictionary, **kwargs)
 
 
+def resolve_metadata_dir(metadata_dir="metadata"):
+    """Resolve the split-metadata directory: cwd-relative ``metadata/``
+    (reference behavior) when present, else the repo-vendored copy shipped
+    next to the package (metadata/ at the repo root, see metadata/README.md).
+    """
+    if os.path.isdir(metadata_dir):
+        return metadata_dir
+    vendored = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", "metadata")
+    return vendored if os.path.isdir(vendored) else metadata_dir
+
+
 def get_vggsound_music(data_path, dataset=VideoDataset, partition="train",
                        metadata_dir="metadata", **kwargs):
+    metadata_dir = resolve_metadata_dir(metadata_dir)
     if partition == "train":
         data = list(csv.reader(open(f"{metadata_dir}/vggmusic_train.txt")))
         fix = lambda c: (c.replace("violin", "violin__fiddle")
@@ -587,6 +600,7 @@ def load_flickr_soundnet(data_path, partition="val", metadata_dir="metadata",
                          **kwargs):
     """Flickr-SoundNet sound-localization eval set (reference :737-754)."""
     assert partition == "val"
+    metadata_dir = resolve_metadata_dir(metadata_dir)
     video_ids = [v for v, t in csv.reader(open(f"{metadata_dir}/flickr_test.csv"))]
     kwargs.pop("dataset", None)
     return ImageAudioDataset(

@@ -7,9 +7,31 @@ audio (B, 128, 192, 1) log-mel.
 """
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
+
+
+def use_synthetic(args) -> bool:
+    """Resolve ``data.synthetic`` honestly — real data is the default.
+
+    - ``data.synthetic=true``: synthetic batches (explicit opt-in for smoke
+      runs / tests / benchmarks).
+    - otherwise: real data; if ``data.data_path`` does not exist, fail fast
+      with a loud error instead of silently training on random noise.
+    """
+    if args.data.get("synthetic"):
+        return True
+    path = args.data.get("data_path")
+    if path and os.path.exists(str(path)):
+        return False
+    raise FileNotFoundError(
+        f"data.data_path={path!r} does not exist and data.synthetic is not "
+        "enabled — refusing to train on random noise. Mount the dataset at "
+        "data.data_path or pass data.synthetic=true for an explicit "
+        "synthetic-data run."
+    )
 
 
 def synthetic_batch(

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from deepavfusion_tpu.data.synthetic import use_synthetic
+
 from eval_linprobe import build_encoder_cfg, load_encoder_checkpoint
 
 
@@ -96,7 +98,7 @@ def main_worker(args) -> dict:
     fwd = jax.jit(lambda p, i, a: model.apply({"params": p}, i, a))
 
     def loaders():
-        if args.data.get("synthetic", True):
+        if use_synthetic(args):
             return synthetic_loc_loader(
                 args.opt.batch_size, 4, args.data.image_size, mels, frames)
         from deepavfusion_tpu.data import datasets, loader, transforms

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from deepavfusion_tpu.data.synthetic import use_synthetic
+
 from eval_linprobe import build_encoder_cfg, load_encoder_checkpoint
 
 
@@ -105,7 +107,7 @@ def main_worker(args) -> dict:
         print(f"Resumed from epoch {start_epoch}")
 
     def loaders(epoch, train):
-        if args.data.get("synthetic", True):
+        if use_synthetic(args):
             n = int(steps_per_epoch) if train else 4
             return synthetic_segm_loader(
                 args.opt.batch_size * (args.opt.accum_iter if train else 1), n,

@@ -16,6 +16,8 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from deepavfusion_tpu.data.synthetic import use_synthetic
 from flax import linen as nn
 
 
@@ -123,7 +125,7 @@ def main_worker(args) -> dict:
         print(f"Resumed from epoch {start_epoch}")
 
     def loaders(epoch, train):
-        if args.data.get("synthetic", True):
+        if use_synthetic(args):
             n = int(steps_per_epoch) if train else 4
             return synthetic_sync_loader(
                 args.opt.batch_size * (args.opt.accum_iter if train else 1), n,

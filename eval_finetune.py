@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from deepavfusion_tpu.data.synthetic import use_synthetic
+
 from eval_linprobe import build_encoder_cfg, load_encoder_checkpoint
 
 
@@ -52,7 +54,7 @@ def main_worker(args) -> dict:
     params, _ = load_encoder_checkpoint(params, args)
 
     # class-frequency table: from the dataset when available, else uniform
-    if args.data.get("synthetic", True):
+    if use_synthetic(args):
         class_freq = np.full((ncls,), 1.0 / ncls, np.float32)
     else:
         from deepavfusion_tpu.data import pipeline
@@ -138,7 +140,7 @@ def main_worker(args) -> dict:
         print(f"Resumed from epoch {start_epoch}")
 
     def loaders(epoch, train):
-        if args.data.get("synthetic", True):
+        if use_synthetic(args):
             n = int(steps_per_epoch) if train else 8
             return synthetic.synthetic_loader(
                 args.opt.batch_size * (args.opt.accum_iter if train else 1), n,

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from deepavfusion_tpu.data.synthetic import use_synthetic
+
 
 def build_encoder_cfg(args):
     from deepavfusion_tpu.models import deepavfusion as trunk_mod
@@ -193,7 +195,7 @@ def main_worker(args) -> dict:
         print(f"Resumed from epoch {start_epoch}")
 
     def loaders(epoch, train):
-        if args.data.get("synthetic", True):
+        if use_synthetic(args):
             n = int(steps_per_epoch) if train else 8
             return synthetic.synthetic_loader(
                 args.opt.batch_size * (args.opt.accum_iter if train else 1), n,

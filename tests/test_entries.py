@@ -38,7 +38,23 @@ TINY = [
     "log.print_freq=1",
     "log.save_freq=1",
     "opt.dtype=float32",
+    "data.synthetic=true",   # explicit opt-in: real data is the default
 ]
+
+
+def test_stock_config_fails_loud_without_data(tmp_path):
+    """Launching the stock config on a machine with no dataset must error
+    loudly instead of silently training on random noise."""
+    import importlib
+
+    mod = importlib.import_module("train")
+    args = load_config(
+        "deepavfusion",
+        overrides=TINY[:-1] + [f"output_dir={tmp_path}",
+                               "data.data_path=/nonexistent/vggsound"],
+    )
+    with pytest.raises(FileNotFoundError, match="random noise"):
+        mod.main_worker(args)
 
 
 def run_entry(module_name, config_name, tmp_path, extra=()):

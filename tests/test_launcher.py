@@ -1,7 +1,85 @@
-"""Launcher dispatch test: worker module resolution + pretrain-dir nesting."""
+"""Launcher tests: worker dispatch, pretrain-dir nesting, duplicate-job
+suppression (flock), preemption requeue (supervised relaunch + resume)."""
+import os
+import subprocess
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
+
+REPO = "/root/repo"
+LAUNCHER = os.path.join(REPO, "launcher.py")
+
+
+def _env_with(tmp_path):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{tmp_path}:{REPO}:" + env.get("PYTHONPATH", "")
+    return env
+
+
+def test_duplicate_launch_refused(tmp_path):
+    """Second concurrent launch of the same job must refuse (rc=3) —
+    reference squeue duplicate-name check, launcher.py:119-123."""
+    (tmp_path / "sleep_worker.py").write_text(
+        "import pathlib, sys, time\n"
+        "def main_worker(args):\n"
+        "    pathlib.Path(args.output_dir, 'started').touch()\n"
+        "    time.sleep(30)\n"
+    )
+    cmd = [sys.executable, LAUNCHER, "--config-name", "linprobe",
+           "worker=sleep_worker", f"output_dir={tmp_path}", "job_name=dupjob"]
+    env = _env_with(tmp_path)
+    p1 = subprocess.Popen(cmd, env=env, stderr=subprocess.PIPE)
+    try:
+        deadline = time.time() + 60
+        while not (tmp_path / "started").exists():
+            assert time.time() < deadline, "first worker never started"
+            assert p1.poll() is None, p1.stderr.read().decode()
+            time.sleep(0.2)
+        p2 = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                            timeout=60)
+        assert p2.returncode == 3, (p2.returncode, p2.stderr)
+        assert "refusing duplicate launch" in p2.stderr
+    finally:
+        p1.terminate()
+        p1.wait(timeout=10)
+
+
+def test_preemption_requeue(tmp_path):
+    """A SIGTERM'd worker is relaunched and completes on the second attempt
+    (reference submitit DelayedSubmission requeue, launcher.py:95-96)."""
+    (tmp_path / "flaky_worker.py").write_text(
+        "import os, pathlib, signal\n"
+        "def main_worker(args):\n"
+        "    marker = pathlib.Path(args.output_dir, 'attempt')\n"
+        "    if not marker.exists():\n"
+        "        marker.touch()\n"
+        "        os.kill(os.getpid(), signal.SIGTERM)  # simulate preemption\n"
+        "    pathlib.Path(args.output_dir, 'done').touch()\n"
+    )
+    cmd = [sys.executable, LAUNCHER, "--config-name", "linprobe",
+           "worker=flaky_worker", f"output_dir={tmp_path}",
+           "job_name=requeuejob", "env.max_requeues=2"]
+    r = subprocess.run(cmd, env=_env_with(tmp_path), capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0, (r.returncode, r.stderr)
+    assert "requeue 1/2" in r.stderr
+    assert (tmp_path / "done").exists()
+
+
+def test_real_failure_not_requeued(tmp_path):
+    """A plain Python failure (rc=1) must NOT be requeued."""
+    (tmp_path / "bad_worker.py").write_text(
+        "def main_worker(args):\n"
+        "    raise RuntimeError('real failure')\n"
+    )
+    cmd = [sys.executable, LAUNCHER, "--config-name", "linprobe",
+           "worker=bad_worker", f"output_dir={tmp_path}",
+           "job_name=badjob", "env.max_requeues=3"]
+    r = subprocess.run(cmd, env=_env_with(tmp_path), capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 1
+    assert "no requeue" in r.stderr
 
 
 def test_launcher_dispatches_worker(tmp_path, monkeypatch):

@@ -1,0 +1,67 @@
+"""Shipped split-metadata surface: the catalogs that consume metadata/ files
+must construct from the vendored copies as checked out (VERDICT round-1 #7;
+reference datasets.py:541, 554, 739).
+"""
+import csv
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from deepavfusion_tpu.data import datasets as D
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+META = os.path.join(REPO, "metadata")
+
+
+def test_checksums():
+    sums = {}
+    with open(os.path.join(META, "SHA256SUMS")) as f:
+        for line in f:
+            digest, name = line.split()
+            sums[name] = digest
+    assert set(sums) == {"vggmusic_train.txt", "vggmusic_eval_ss.csv",
+                         "flickr_test.csv"}
+    for name, digest in sums.items():
+        with open(os.path.join(META, name), "rb") as f:
+            assert hashlib.sha256(f.read()).hexdigest() == digest, name
+
+
+def test_resolve_metadata_dir_falls_back_to_vendored(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)  # no cwd-relative metadata/ here
+    d = D.resolve_metadata_dir()
+    assert os.path.isfile(os.path.join(d, "vggmusic_train.txt"))
+
+
+def test_vggsound_music_train_constructs(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rows = list(csv.reader(open(os.path.join(META, "vggmusic_train.txt"))))[:3]
+    # materialize the on-disk clips the catalog filters by
+    for yid, cls in rows:
+        cls = (cls.replace("violin", "violin__fiddle")
+                  .replace("steel_guitar", "steel_guitar__slide_guitar"))
+        t0 = int(yid[-6:])
+        fn = f"playing_{cls}/{yid[:11]}_{t0:06d}_{t0 + 10:06d}.mp4"
+        p = tmp_path / "clips" / fn
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.touch()
+    db = D.get_vggsound_music(str(tmp_path), partition="train")
+    assert len(db.video_files) == 3
+    assert all(any(v[:11] in fn for fn in db.video_files) for v, _ in rows)
+
+
+def test_vggsound_music_eval_pairs_construct():
+    db = D.get_vggsound_music(
+        "/nonexistent", dataset=D.MixtureVideoDataset, partition="test")
+    n = len(list(csv.reader(open(os.path.join(META, "vggmusic_eval_ss.csv"))))) - 1
+    assert len(db.video_files) == n == 1201
+    assert len(db.video_files_mix) == n
+    assert db.video_files[0].startswith("playing_")
+
+
+def test_flickr_soundnet_constructs():
+    db = D.load_flickr_soundnet("/nonexistent", partition="val")
+    assert len(db.image_files) == 250
+    assert db.image_files[0].startswith("frames/")
+    assert db.anno_files[0].startswith("Annotations/")

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from deepavfusion_tpu.data.synthetic import use_synthetic
+
 
 def main_worker(args) -> dict:
     from deepavfusion_tpu import runtime
@@ -80,7 +82,7 @@ def main_worker(args) -> dict:
     cfg.steps_per_epoch = float(steps_per_epoch) / cfg.accum_iter
 
     def epoch_loader(epoch):
-        if args.data.get("synthetic", True):
+        if use_synthetic(args):
             return synthetic.synthetic_loader(
                 cfg.batch_size * cfg.accum_iter, steps_per_epoch // cfg.accum_iter,
                 seed=epoch * 100_000, image_size=cfg.image_size,
@@ -183,7 +185,7 @@ def build_knn_probe(model, cfg, args, mesh):
 
     encode_jit = jax.jit(encode_fn)
 
-    if args.data.get("synthetic", True):
+    if use_synthetic(args):
         ncls = catalog.NUM_CLASSES.get(args.data.dataset, 10)
 
         def loader_fn():
