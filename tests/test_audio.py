@@ -153,3 +153,63 @@ def test_spectrogram_frame_count_formula():
         wav = jnp.zeros((1, t))
         s = audio.spectrogram(wav, N_FFT, HOP, power=2.0)
         assert s.shape[-1] == t // HOP + 1
+
+
+# ---------------------------------------------------------------------------
+# Committed golden fixtures (tests/fixtures/audio_golden.npz, generated by
+# tests/gen_audio_fixtures.py): an INDEPENDENT torch transcription of the
+# torchaudio MelSpectrogram pipeline (torch.stft + the published
+# melscale_fbanks algorithm, norm=None/htk). Regenerating on a machine with
+# real torchaudio (--torchaudio) verifies the transcription against
+# torchaudio itself before writing. Pins both the JAX (ops/audio.py) and the
+# numpy worker (data/transforms.py) front-ends. SURVEY.md hard part #1.
+# ---------------------------------------------------------------------------
+import os as _os
+
+_FIX = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                     "fixtures", "audio_golden.npz")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(_FIX)
+
+
+def test_golden_fbank_matches(golden):
+    # 2e-5 abs: the fixture is computed with torch float32 transcendentals
+    # (like torchaudio); ours uses float64 numpy — the residual is pure
+    # float32 rounding in the mel-point exponentials, ~1 filterbank ulp.
+    fb = audio.mel_filterbank(int(golden["n_fft"]) // 2 + 1,
+                              int(golden["n_mels"]), int(golden["rate"]))
+    np.testing.assert_allclose(fb, golden["fbank"], atol=2e-5)
+
+
+def test_golden_fbank_small_matches(golden):
+    fb = audio.mel_filterbank(257, 64, int(golden["rate"]))
+    np.testing.assert_allclose(fb, golden["fbank_257x64"], atol=2e-5)
+
+
+@pytest.mark.parametrize("name", ["noise", "chirp", "tone_1s"])
+def test_golden_melspectrogram_jax(golden, name):
+    wav = golden[f"wav_{name}"]
+    mel = np.asarray(audio.melspectrogram(
+        jnp.asarray(wav), int(golden["rate"]), int(golden["n_fft"]),
+        int(golden["hop"]), n_mels=int(golden["n_mels"])))
+    ref = golden[f"mel_{name}"]
+    # rtol-dominated: mel power spans ~13 decades; near-zero bins are float32
+    # rounding noise on both sides.
+    np.testing.assert_allclose(mel, ref, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("name", ["noise", "chirp"])
+def test_golden_logmel_numpy_worker(golden, name):
+    """data/transforms.py worker path vs the committed log-mel (incl. the
+    193→192 frame trim, reference datasets.py:242)."""
+    from deepavfusion_tpu.data import transforms as T
+
+    wav = golden[f"wav_{name}"]
+    out = T.log_mel_np(wav, rate=int(golden["rate"]),
+                       n_mels=int(golden["n_mels"]))
+    # log10 amplifies float32 rounding of mel bins sitting at the 1e-7 eps
+    # floor (chirp spectra have many near-zero bins); 0.02 dB-scale slack.
+    np.testing.assert_allclose(out, golden[f"logmel_{name}"], atol=2e-2)
