@@ -1,0 +1,136 @@
+"""A/B benchmark: Pallas fused flash-attention vs the XLA einsum path.
+
+Times forward and forward+backward at every real attention shape in the
+framework (reference shapes per models/fusion_blocks.py:171-177, 245-252 and
+the MAE decoder, SURVEY.md §5.7), on the default backend. The result decides
+``ops/attention._use_pallas_default`` (VERDICT round-1 item 2).
+
+Shapes (ViT-B VGGSound pretraining config, batch 64):
+  * encoder self-attn, visible tokens:  image (32+49)=81, audio (32+19)=51
+  * encoder self-attn, full eval:       image (32+196)=228, audio (32+96)=128
+  * decoder self-attn:                  image (32+196)=228, audio (32+96)=128 @ dim512/H16
+  * fusion cross-attn aggregators:      q=8 over 49/19 (pretrain) or 196/96
+  * factorized pair attention:          q=16 over 8x8=64 pairs
+  * joint fusion self-attn bound:       324 (196+96+32)
+
+Usage: python bench_attention.py [batch] [--fwd-only] [--allow-cpu]
+Prints one JSON line with per-shape timings and the verdict.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def time_fn(fn, args, iters=50, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    argv = [a for a in sys.argv[1:]]
+    fwd_only = "--fwd-only" in argv
+    allow_cpu = "--allow-cpu" in argv
+    argv = [a for a in argv if not a.startswith("--")]
+    batch = int(argv[0]) if argv else 64
+
+    import jax
+
+    p = os.environ.get("JAX_PLATFORMS")
+    if p:
+        jax.config.update("jax_platforms", p)
+    import jax.numpy as jnp
+
+    from deepavfusion_tpu import runtime
+    runtime.setup()
+    from deepavfusion_tpu.ops import attention
+    from deepavfusion_tpu.ops.pallas.flash_attention import flash_attention
+
+    backend = jax.default_backend()
+    if backend != "tpu" and not allow_cpu:
+        print(f"bench_attention: backend is {backend}, need tpu "
+              "(--allow-cpu to override)", file=sys.stderr)
+        sys.exit(1)
+    interp = backend != "tpu"   # CPU smoke runs the kernels in interpret mode
+
+    B = batch
+    # (name, H, Nq, Nk, Dh, scale_override)
+    SHAPES = [
+        ("enc_img_visible", 12, 81, 81, 64, None),
+        ("enc_aud_visible", 12, 51, 51, 64, None),
+        ("enc_img_full", 12, 228, 228, 64, None),
+        ("enc_aud_full", 12, 128, 128, 64, None),
+        ("dec_img", 16, 228, 228, 32, None),
+        ("dec_aud", 16, 128, 128, 32, None),
+        # attn_ratio 0.25: inner dim 192, H=12 → Dh=16; scale from unreduced
+        # per-head dim 64 (reference quirk, fusion_blocks.py:157-159)
+        ("xattn_img_visible", 12, 8, 49, 16, 64 ** -0.5),
+        ("xattn_img_full", 12, 8, 196, 16, 64 ** -0.5),
+        ("pair_attn", 12, 16, 64, 16, 64 ** -0.5),
+        ("joint_324", 12, 324, 324, 64, None),
+    ]
+
+    rng = np.random.RandomState(0)
+    rows = {}
+    pallas_wins_fwd = pallas_wins_train = 0
+    for name, h, nq, nk, dh, scale in SHAPES:
+        q = jnp.asarray(rng.randn(B, h, nq, dh), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(B, h, nk, dh), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(B, h, nk, dh), jnp.bfloat16)
+
+        xla_f = jax.jit(lambda q, k, v: attention.xla_attention(q, k, v, scale=scale))
+        pal_f = jax.jit(lambda q, k, v: flash_attention(q, k, v, scale=scale, interpret=interp))
+
+        row = {}
+        row["xla_fwd_us"] = round(time_fn(xla_f, (q, k, v)) * 1e6, 1)
+        row["pallas_fwd_us"] = round(time_fn(pal_f, (q, k, v)) * 1e6, 1)
+        pallas_wins_fwd += row["pallas_fwd_us"] < row["xla_fwd_us"]
+
+        if not fwd_only:
+            def loss_x(q, k, v):
+                return attention.xla_attention(q, k, v, scale=scale).astype(jnp.float32).sum()
+
+            def loss_p(q, k, v):
+                return flash_attention(q, k, v, scale=scale, interpret=interp).astype(jnp.float32).sum()
+
+            xla_g = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2)))
+            pal_g = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))
+            row["xla_bwd_us"] = round(time_fn(xla_g, (q, k, v)) * 1e6, 1)
+            row["pallas_bwd_us"] = round(time_fn(pal_g, (q, k, v)) * 1e6, 1)
+            pallas_wins_train += row["pallas_bwd_us"] < row["xla_bwd_us"]
+            # numerical cross-check while we're here
+            gx = xla_g(q, k, v)
+            gp = pal_g(q, k, v)
+            err = max(float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+                      for a, b in zip(gx, gp))
+            row["grad_max_abs_err"] = round(err, 5)
+        rows[name] = row
+        print(f"{name}: {row}", file=sys.stderr)
+
+    n = len(SHAPES)
+    verdict = ("pallas" if (pallas_wins_fwd + pallas_wins_train) >
+               (n if not fwd_only else n / 2) else "xla")
+    print(json.dumps({
+        "metric": "attention A/B (pallas vs xla)",
+        "value": pallas_wins_fwd + pallas_wins_train,
+        "unit": f"pallas wins of {n * (1 if fwd_only else 2)}",
+        "vs_baseline": 1.0,
+        "batch": B,
+        "backend": backend,
+        "verdict": verdict,
+        "shapes": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,12 @@ def _load_lib():
         ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.avdec_video_frame_crop.restype = ctypes.c_double
+    lib.avdec_video_frame_crop.argtypes = [
+        ctypes.c_void_p, ctypes.c_double, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -98,10 +104,29 @@ class VideoReader:
             raise IOError("decode failed")
         return buf, ts
 
-    def quick_random_frame(self, t_min=None, t_max=None, size=None):
+    def _decode_crop(self, t: float, precise: bool, crop, out_size):
+        """Fused crop+scale decode (native avdec_video_frame_crop): no
+        full-resolution RGB frame is materialized — the RandomResizedCrop
+        pixel work happens inside the C++ stage."""
+        cx, cy, cw, ch = crop
+        ow, oh = out_size
+        buf = np.empty((oh, ow, 3), np.uint8)
+        ts = self._lib.avdec_video_frame_crop(
+            self._h, float(t), int(precise),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(cx), int(cy), int(cw), int(ch), int(ow), int(oh),
+        )
+        if ts < -1e8:
+            raise IOError("decode failed")
+        return buf, ts
+
+    def quick_random_frame(self, t_min=None, t_max=None, size=None, crop=None):
         t_min = self.start_time if t_min is None else t_min
         t_max = self.start_time + self.duration if t_max is None else t_max
-        return self._decode(random.uniform(t_min, t_max), precise=False, size=size)
+        t = random.uniform(t_min, t_max)
+        if crop is not None:
+            return self._decode_crop(t, precise=False, crop=crop, out_size=size)
+        return self._decode(t, precise=False, size=size)
 
     def precise_frame(self, t: float, size=None):
         return self._decode(t, precise=True, size=size)
@@ -132,6 +157,42 @@ class VideoReader:
             self.close()
         except Exception:
             pass
+
+
+class AVReader(VideoReader):
+    """Single-open combined reader: one avformat container open serves both
+    the frame decode and the audio span read (the reference — and the
+    separate VideoReader/AudioReader pair above — pays avformat_open_input +
+    find_stream_info twice per sample, reference datasets.py:230-233)."""
+
+    def __init__(self, filename: str, rate: Optional[int] = None):
+        super().__init__(filename)
+        r = ctypes.c_int()
+        dur = ctypes.c_double()
+        st = ctypes.c_double()
+        ch = ctypes.c_int()
+        if self._lib.avdec_audio_info(self._h, r, dur, st, ch) != 0:
+            raise IOError(f"no audio stream in {filename}")
+        self.orig_rate = r.value
+        self.audio_duration = dur.value
+        self.audio_start_time = st.value
+        self.channels = ch.value
+        self.rate = rate or self.orig_rate
+
+    def read(self, t_min=None, t_max=None) -> np.ndarray:
+        """→ float32 (1, nsamples) in [-1, 1], exactly (t_max-t_min)*rate."""
+        t_min = self.audio_start_time if t_min is None else t_min
+        t_max = (self.audio_start_time + self.audio_duration
+                 if t_max is None else t_max)
+        n = int((t_max - t_min) * self.rate)
+        out = np.empty(n, np.float32)
+        got = self._lib.avdec_audio_read(
+            self._h, float(t_min), float(t_max), int(self.rate),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if got < 0:
+            raise IOError(f"audio decode failed ({got})")
+        return out[None, :]
 
 
 class AudioReader:

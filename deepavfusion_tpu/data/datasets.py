@@ -118,6 +118,22 @@ class VideoDataset(BaseVideoDataset):
         return mid - self.audio_dur / 2
 
     def get_sample(self, filename):
+        vt = self.visual_transform
+        if hasattr(vt, "crop_spec"):
+            # fast path: one container open for both streams, crop+scale
+            # fused into the C++ decode (native avdec_video_frame_crop) —
+            # no full-res RGB frame and no PIL in the hot loop
+            reader = avreader.AVReader(filename, rate=self.audio_rate)
+            start = self.sample_start(reader)
+            crop, out_size, flip = vt.crop_spec(reader.width, reader.height)
+            frame_np, _ = reader.quick_random_frame(
+                start, start + self.audio_dur, size=out_size, crop=crop)
+            frame = vt.finish(frame_np, flip)
+            wav = reader.read(start, start + self.audio_dur)
+            mel = self.audio_transform(wav)
+            reader.close()
+            return frame, mel
+
         vreader = avreader.VideoReader(filename)
         areader = avreader.AudioReader(filename, rate=self.audio_rate)
         start = self.sample_start(vreader)

@@ -83,20 +83,24 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.workers) as pool:
-                pending = []
-                for b in batches:
-                    if stop.is_set():
-                        break
-                    pending.append(pool.map(self.dataset.__getitem__, b))
-                    # keep at most prefetch+1 batches in flight
-                    while len(pending) > self.prefetch:
-                        q.put(collate(list(pending.pop(0))))
-                for fut in pending:
-                    if stop.is_set():
-                        break
-                    q.put(collate(list(fut)))
-            q.put(None)
+            # q.put(None) MUST run on every exit path: a producer crash that
+            # skips the sentinel would deadlock the consumer at q.get().
+            try:
+                with ThreadPoolExecutor(self.workers) as pool:
+                    pending = []
+                    for b in batches:
+                        if stop.is_set():
+                            break
+                        pending.append(pool.map(self.dataset.__getitem__, b))
+                        # keep at most prefetch+1 batches in flight
+                        while len(pending) > self.prefetch:
+                            q.put(collate(list(pending.pop(0))))
+                    for fut in pending:
+                        if stop.is_set():
+                            break
+                        q.put(collate(list(fut)))
+            finally:
+                q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

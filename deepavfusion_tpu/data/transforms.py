@@ -104,6 +104,22 @@ class ImageTrainTransform:
         out = to_normalized_array(img)
         return (out, labels) if labels else out
 
+    # Fused decode-time crop protocol (native avdec_video_frame_crop): the
+    # dataset asks for the crop rect up front, the C++ stage does crop+scale
+    # during decode, and only flip+normalize run in Python. Pixel-resampling
+    # kernel differs slightly from the PIL path (swscale AREA/BILINEAR vs PIL
+    # BICUBIC) — an augmentation-path divergence, tested to be small.
+    def crop_spec(self, w: int, h: int):
+        x, y, cw, ch = random_resized_crop_params(w, h, (self.crop_min, 1.0))
+        return (x, y, cw, ch), (self.size, self.size), random.random() < 0.5
+
+    @staticmethod
+    def finish(arr: np.ndarray, flip: bool) -> np.ndarray:
+        if flip:
+            arr = arr[:, ::-1]
+        x = arr.astype(np.float32) / 255.0
+        return (x - IMAGENET_MEAN) / IMAGENET_STD
+
 
 class ImageEvalTransform:
     """Resize(size/0.875) + CenterCrop + Normalize (eval_linprobe.py:71-72).
@@ -118,6 +134,16 @@ class ImageEvalTransform:
         img, labels = resize_center_crop(img, self.size, self.resize_to, labels)
         out = to_normalized_array(img)
         return (out, labels) if labels else out
+
+    def crop_spec(self, w: int, h: int):
+        # Resize(short side → resize_to) + CenterCrop(size) ≡ one centered
+        # source crop of side min(w,h)·size/resize_to scaled to size.
+        src = int(round(min(w, h) * self.size / self.resize_to))
+        src = min(src, w, h)
+        return (((w - src) // 2, (h - src) // 2, src, src),
+                (self.size, self.size), False)
+
+    finish = staticmethod(ImageTrainTransform.finish)
 
 
 # --------------------------------------------------------------------------- #
@@ -144,14 +170,15 @@ def log_mel_np(wav: np.ndarray, rate: int = 16000, n_mels: int = 128,
     window = audio_ops.hann_window(n_fft)
     pad = n_fft // 2
     x = np.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(pad, pad)], mode="reflect")
-    n_frames = (x.shape[-1] - n_fft) // hop + 1
-    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = x[..., idx] * window
-    spec = np.fft.rfft(frames, n=n_fft, axis=-1)
-    power = (spec.real**2 + spec.imag**2).swapaxes(-1, -2)
+    # strided framing (no gather copy) → windowed copy → rfft; the mel
+    # projection runs as a BLAS matmul on contiguous (frames, bins)
+    frames = np.lib.stride_tricks.sliding_window_view(x, n_fft, axis=-1)
+    frames = frames[..., ::hop, :]
+    spec = np.fft.rfft(frames * window, n=n_fft, axis=-1)
+    power = spec.real ** 2 + spec.imag ** 2            # (..., frames, bins)
     fb = audio_ops.mel_filterbank(n_fft // 2 + 1, n_mels, rate)
-    mel = np.einsum("...bf,bm->...mf", power, fb)
-    out = np.log10(mel + eps).astype(np.float32)
+    mel = power.astype(np.float32) @ fb                # (..., frames, mels)
+    out = np.log10(mel + eps).swapaxes(-1, -2)         # (..., mels, frames)
     return out[..., :-1] if trim_last else out
 
 

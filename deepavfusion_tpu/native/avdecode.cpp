@@ -15,6 +15,7 @@ extern "C" {
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
+#include <libavutil/pixdesc.h>
 #include <libswresample/swresample.h>
 #include <libswscale/swscale.h>
 }
@@ -181,6 +182,88 @@ double avdec_video_frame(void* handle, double t, int precise, uint8_t* out,
     }
   }
 done:
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  return found_ts;
+}
+
+// Decode one video frame and crop+scale it to (out_w, out_h) in one pass —
+// the fused fast path for RandomResizedCrop-style augmentation: the crop
+// rectangle is chosen in Python (cheap), the pixel work happens here, and no
+// full-resolution RGB frame is ever materialized (replaces the reference's
+// decode-full-frame → PIL RandomResizedCrop, image_labels_transforms.py:15).
+// Downscale uses SWS_AREA (box average, close to PIL's antialiased bilinear);
+// upscale uses SWS_BILINEAR. Crop offsets are rounded down to even for
+// chroma-subsampled formats. Returns the frame timestamp or <0 on failure.
+double avdec_video_frame_crop(void* handle, double t, int precise,
+                              uint8_t* out, int crop_x, int crop_y,
+                              int crop_w, int crop_h, int out_w, int out_h) {
+  auto* d = static_cast<Decoder*>(handle);
+  if (!d || !d->vctx) return -1e9;
+  AVStream* st = d->fmt->streams[d->vstream];
+
+  av_seek_frame(d->fmt, -1, (int64_t)(t * AV_TIME_BASE), AVSEEK_FLAG_BACKWARD);
+  avcodec_flush_buffers(d->vctx);
+
+  double fps = av_q2d(st->avg_frame_rate);
+  if (fps <= 0) fps = 30.0;
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  double found_ts = -1e9;
+
+  while (av_read_frame(d->fmt, pkt) >= 0) {
+    if (pkt->stream_index != d->vstream) {
+      av_packet_unref(pkt);
+      continue;
+    }
+    if (avcodec_send_packet(d->vctx, pkt) < 0) {
+      av_packet_unref(pkt);
+      break;
+    }
+    av_packet_unref(pkt);
+    while (avcodec_receive_frame(d->vctx, frame) >= 0) {
+      double ts = stream_ts(st, frame->best_effort_timestamp);
+      if (precise && (t - ts) >= 1.0 / fps) {
+        av_frame_unref(frame);
+        continue;
+      }
+      // clamp + even-align the crop rect
+      int cx = std::max(0, std::min(crop_x, frame->width - 2)) & ~1;
+      int cy = std::max(0, std::min(crop_y, frame->height - 2)) & ~1;
+      int cw = std::max(2, std::min(crop_w, frame->width - cx));
+      int ch = std::max(2, std::min(crop_h, frame->height - cy));
+
+      const AVPixFmtDescriptor* desc =
+          av_pix_fmt_desc_get((AVPixelFormat)frame->format);
+      const uint8_t* src[4] = {nullptr, nullptr, nullptr, nullptr};
+      for (int p = 0; p < 4 && frame->data[p]; ++p) {
+        int xs = (p == 1 || p == 2) ? desc->log2_chroma_w : 0;
+        int ys = (p == 1 || p == 2) ? desc->log2_chroma_h : 0;
+        int step = (desc->flags & AV_PIX_FMT_FLAG_PLANAR)
+                       ? ((desc->comp[p].depth + 7) / 8)
+                       : desc->comp[0].step;
+        src[p] = frame->data[p] + (cy >> ys) * frame->linesize[p] +
+                 (cx >> xs) * step;
+      }
+      int flags = (out_w < cw || out_h < ch) ? SWS_AREA : SWS_BILINEAR;
+      SwsContext* sws = sws_getContext(cw, ch, (AVPixelFormat)frame->format,
+                                       out_w, out_h, AV_PIX_FMT_RGB24, flags,
+                                       nullptr, nullptr, nullptr);
+      if (!sws) {
+        av_frame_unref(frame);
+        goto crop_done;
+      }
+      uint8_t* dst[1] = {out};
+      int dst_stride[1] = {out_w * 3};
+      sws_scale(sws, src, frame->linesize, 0, ch, dst, dst_stride);
+      sws_freeContext(sws);
+      found_ts = ts;
+      av_frame_unref(frame);
+      goto crop_done;
+    }
+  }
+crop_done:
   av_packet_free(&pkt);
   av_frame_free(&frame);
   return found_ts;

@@ -98,3 +98,91 @@ def test_video_reader_clip(gif_file):
     assert len(frames) == 5
     levels = [int(f[0, 0, 0]) for f in frames]
     assert levels == sorted(levels)  # monotonically brighter
+
+
+@pytest.fixture(scope="module")
+def h264_clip(tmp_path_factory):
+    """Real H.264+AAC mp4 from the native corpus encoder (avencode.cpp)."""
+    import subprocess
+    from pathlib import Path
+
+    native = Path(avreader.__file__).parent.parent / "native"
+    enc = native / "avencode"
+    if not enc.exists():
+        subprocess.run(["make", "-C", str(native), "avencode"], check=True,
+                       capture_output=True)
+    path = tmp_path_factory.mktemp("media") / "clip.mp4"
+    subprocess.run([str(enc), str(path), "6", "25", "320", "240", "7"],
+                   check=True, capture_output=True)
+    return str(path)
+
+
+def test_avreader_combined_single_open(h264_clip):
+    """AVReader serves both streams from one container open, matching the
+    separate VideoReader/AudioReader outputs."""
+    r = avreader.AVReader(h264_clip, rate=16000)
+    assert r.width == 320 and r.height == 240
+    assert r.rate == 16000
+    w1 = r.read(1.0, 4.0)
+    a = avreader.AudioReader(h264_clip, rate=16000)
+    w2 = a.read(1.0, 4.0)
+    np.testing.assert_array_equal(w1, w2)
+    assert w1.shape == (1, 48000)
+    f, ts = r.precise_frame(2.0)
+    assert f.shape == (240, 320, 3)
+    r.close()
+    a.close()
+
+
+def test_fused_crop_decode_matches_pil(h264_clip):
+    """Fused crop+scale decode ≈ decode-full → PIL crop+bilinear resize
+    (different resampling kernels: swscale AREA vs PIL; small tolerance)."""
+    import ctypes
+
+    from PIL import Image
+
+    r = avreader.VideoReader(h264_clip)
+    full, ts = r.precise_frame(2.0)
+    crop = (60, 20, 180, 180)
+    out = np.empty((112, 112, 3), np.uint8)
+    ts2 = r._lib.avdec_video_frame_crop(
+        r._h, 2.0, 1, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        *crop, 112, 112)
+    assert abs(ts - ts2) < 1e-6
+    x, y, cw, ch = crop
+    pil = np.asarray(Image.fromarray(full).crop((x, y, x + cw, y + ch))
+                     .resize((112, 112), Image.BILINEAR))
+    diff = np.abs(pil.astype(np.float32) - out.astype(np.float32))
+    assert diff.mean() < 4.0, diff.mean()
+    r.close()
+
+
+def test_video_dataset_fused_path_shapes(h264_clip, tmp_path):
+    """VideoDataset takes the fused path when the transform has crop_spec."""
+    import os
+
+    from deepavfusion_tpu.data import datasets, transforms
+
+    db = datasets.VideoDataset(
+        base_path=os.path.dirname(h264_clip),
+        video_files=[os.path.basename(h264_clip)],
+        visual_transform=transforms.ImageTrainTransform(64, 0.5),
+        audio_transform=transforms.AudioTrainTransform(16000, 3.0, 32),
+        temporal_jitter=True,
+    )
+    s = db[0]
+    assert s["image"].shape == (64, 64, 3)
+    assert s["image"].dtype == np.float32
+    assert s["audio"].shape == (32, 192, 1)
+    # normalized output: roughly centered stats
+    assert abs(float(s["image"].mean())) < 3.0
+
+
+def test_eval_transform_crop_spec_center():
+    from deepavfusion_tpu.data import transforms
+
+    t = transforms.ImageEvalTransform(224)
+    (x, y, cw, ch), out, flip = t.crop_spec(640, 360)
+    assert not flip and out == (224, 224)
+    assert cw == ch == int(round(360 * 224 / t.resize_to))
+    assert x == (640 - cw) // 2 and y == (360 - ch) // 2
