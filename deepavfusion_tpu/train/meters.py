@@ -120,3 +120,32 @@ class MetricLogger:
         elapsed = time.time() - start
         print(f"{header} Total time: {datetime.timedelta(seconds=int(elapsed))} "
               f"({elapsed / max(i, 1):.4f} s/it)", flush=True)
+
+
+class DeferredMetrics:
+    """Materialize device metrics one step late.
+
+    ``float(metrics['loss'])`` on a live jax array blocks the host until the
+    step finishes — done every step it serializes dispatch with execution
+    and, through a remote-dispatch tunnel, adds a full round trip per step.
+    Double-buffering keeps the pipeline one step deep: step i's metrics are
+    pulled to the host while step i+1 runs. (The NaN abort fires one step
+    late, which costs at most one wasted step.)
+    """
+
+    def __init__(self):
+        self._pending = None
+
+    def push(self, tag, metrics):
+        """Buffer (tag, device-metrics); return the PREVIOUS step's
+        (tag, host-float-metrics) or None on the first call."""
+        out = self.pop()
+        self._pending = (tag, metrics)
+        return out
+
+    def pop(self):
+        if self._pending is None:
+            return None
+        tag, m = self._pending
+        self._pending = None
+        return tag, {k: float(v) for k, v in m.items()}

@@ -104,7 +104,7 @@ def init_params(model, cfg: PretrainConfig, seed: int = 0):
 
 
 def make_pretrain_step(model, params, cfg: PretrainConfig, world_batch: int,
-                       mesh=None):
+                       mesh=None, watch_gradients: bool = False):
     """(tx, state, step_fn): the jitted MAE train step."""
     opt_cfg = lr_sched.OptimizerConfig(
         lr=effective_lr(cfg, world_batch),
@@ -136,5 +136,6 @@ def make_pretrain_step(model, params, cfg: PretrainConfig, world_batch: int,
         return out["loss"], metrics
 
     state = trainer.TrainState.create(params, tx)
-    step = trainer.make_train_step(loss_fn, tx, cfg.accum_iter, mesh=mesh)
+    step = trainer.make_train_step(loss_fn, tx, cfg.accum_iter, mesh=mesh,
+                                   watch_gradients=watch_gradients)
     return tx, state, step, lr_fn

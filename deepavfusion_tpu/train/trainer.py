@@ -53,6 +53,7 @@ def make_train_step(
     data_axis: str = "data",
     donate: bool = True,
     skip_nonfinite: bool = False,
+    watch_gradients: bool = False,
 ):
     """Build the jitted train step.
 
@@ -126,6 +127,12 @@ def make_train_step(
                                opt_state=opt_state, model_state=ms)
         metrics = dict(metrics)
         metrics["grad_norm"] = gn
+        if watch_gradients:
+            # per-top-level-module gradient norms — the TPU-native analogue
+            # of wandb.watch gradient histograms (reference util/misc.py:
+            # 208-209), computed in-graph at negligible cost
+            for k, v in grads.items():
+                metrics[f"grad_norm/{k}"] = global_norm(v)
         return new_state, metrics
 
     if mesh is not None:

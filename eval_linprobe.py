@@ -213,6 +213,7 @@ def main_worker(args) -> dict:
     for epoch in range(start_epoch, epochs):
         if not args.get("eval"):
             logger = meters.MetricLogger()
+            deferred = meters.DeferredMetrics()
             header = f"[Train][Ep-{epoch}/{epochs}]"
             for it, batch in enumerate(
                 logger.log_every(loaders(epoch, True), args.log.print_freq, header)
@@ -220,14 +221,25 @@ def main_worker(args) -> dict:
                 batch = mesh_lib.shard_batch(batch, mesh)
                 key = jax.random.fold_in(jax.random.key(0), epoch * 100000 + it)
                 state, m = step_fn(state, batch, key)
-                loss = float(m["loss"])
-                if not np.isfinite(loss):
-                    raise RuntimeError(f"Loss is {loss}")
-                logger.update(n=args.opt.batch_size, loss=loss,
-                              grad_norm=float(m["grad_norm"]),
-                              lr=float(lr_fn(epoch * steps_per_epoch + it)))
+                # one-step-late metrics: no per-step host<->device sync
+                ready = deferred.push(it, m)
+                if ready is not None:
+                    pit, pm = ready
+                    if not np.isfinite(pm["loss"]):
+                        raise RuntimeError(f"Loss is {pm['loss']}")
+                    logger.update(n=args.opt.batch_size, loss=pm["loss"],
+                                  grad_norm=pm["grad_norm"],
+                                  lr=float(lr_fn(epoch * steps_per_epoch + pit)))
                 if args.debug and it >= 3:
                     break
+            ready = deferred.pop()
+            if ready is not None:
+                pit, pm = ready
+                if not np.isfinite(pm["loss"]):
+                    raise RuntimeError(f"Loss is {pm['loss']}")
+                logger.update(n=args.opt.batch_size, loss=pm["loss"],
+                              grad_norm=pm["grad_norm"],
+                              lr=float(lr_fn(epoch * steps_per_epoch + pit)))
             logger.synchronize_between_processes()
             print(f"{header} Averaged stats: {logger}")
             ckpt.save(epoch + 1, jax.device_get(state))

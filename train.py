@@ -105,7 +105,8 @@ def main_worker(args) -> dict:
     params = maybe_load_backbone_inits(params, args)
 
     tx, state, step_fn, lr_fn = pretrain.make_pretrain_step(
-        model, params, cfg, world_batch, mesh=mesh
+        model, params, cfg, world_batch, mesh=mesh,
+        watch_gradients=bool(args.log.get("wandb_watch_freq", 0)),
     )
     state = mesh_lib.replicate(state, mesh)
 
@@ -133,8 +134,21 @@ def main_worker(args) -> dict:
 
     epochs = int(args.opt.epochs)
     last = {}
+
+    def consume(ready):
+        """Handle the one-step-late host copy of the metrics."""
+        if ready is None:
+            return
+        pstep, m = ready
+        m["lr"] = float(lr_fn(pstep))
+        if not np.isfinite(m["loss"]):
+            raise RuntimeError(f"Loss is {m['loss']}, stopping training")
+        logger.update(n=cfg.batch_size, **m)
+        wb.log(logger.latest(), step=pstep)
+
     for epoch in range(start_epoch, epochs):
         logger = meters.MetricLogger()
+        deferred = meters.DeferredMetrics()
         header = f"[Train][Ep-{epoch}/{epochs}]"
         for it, batch in enumerate(
             logger.log_every(epoch_loader(epoch), args.log.print_freq, header)
@@ -144,15 +158,13 @@ def main_worker(args) -> dict:
             batch = mesh_lib.shard_batch(batch, mesh)
             key = jax.random.fold_in(jax.random.key(args.env.seed or 0), gstep)
             state, m = step_fn(state, batch, key)
-            m = {k: float(v) for k, v in m.items()}
+            # one-step-deep pipeline: materialize the PREVIOUS step's metrics
+            # while this step executes (no per-step host<->device sync)
+            consume(deferred.push(gstep, m))
             profiler.step_end(gstep)
-            m["lr"] = float(lr_fn(gstep))
-            if not np.isfinite(m["loss"]):
-                raise RuntimeError(f"Loss is {m['loss']}, stopping training")
-            logger.update(n=cfg.batch_size, **m)
-            wb.log(logger.latest(), step=gstep)
             if args.debug and it >= 3:
                 break
+        consume(deferred.pop())
         logger.synchronize_between_processes()
         print(f"{header} Averaged stats: {logger}")
         last = logger.averages()
