@@ -128,11 +128,13 @@ class VideoReader:
             return self._decode_crop(t, precise=False, crop=crop, out_size=size)
         return self._decode(t, precise=False, size=size)
 
-    def precise_frame(self, t: float, size=None):
+    def precise_frame(self, t: float, size=None, crop=None):
+        if crop is not None:
+            return self._decode_crop(t, precise=True, crop=crop, out_size=size)
         return self._decode(t, precise=True, size=size)
 
     def get_clip(self, t_start=None, t_end=None, fps: Optional[float] = None,
-                 size=None):
+                 size=None, crop=None):
         """Frame-accurate clip at the given fps (reference get_clip :33-45,
         sampled on a uniform grid instead of every container frame)."""
         t_start = self.start_time if t_start is None else t_start
@@ -142,7 +144,7 @@ class VideoReader:
         frames, ts = [], []
         for i in range(n):
             t = t_start + i / fps
-            f, actual = self._decode(t, precise=True, size=size)
+            f, actual = self.precise_frame(t, size=size, crop=crop)
             frames.append(f)
             ts.append(actual)
         return frames, ts

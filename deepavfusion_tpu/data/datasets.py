@@ -166,8 +166,16 @@ class DenseVideoDataset(BaseVideoDataset):
 
     def getitem(self, idx):
         file_id, filename, anno = self.get_sample_metadata(idx)
-        vreader = avreader.VideoReader(filename)
-        areader = avreader.AudioReader(filename, rate=self.audio_rate)
+        vt = self.visual_transform
+        fused = hasattr(vt, "crop_spec")
+        if fused:
+            # single container open; crop+scale fused into the C++ decode.
+            # Crop params are re-drawn per frame, matching the PIL path's
+            # per-frame visual_transform call.
+            vreader = areader = avreader.AVReader(filename, rate=self.audio_rate)
+        else:
+            vreader = avreader.VideoReader(filename)
+            areader = avreader.AudioReader(filename, rate=self.audio_rate)
 
         span = min(self.dense_span, vreader.duration)
         if self.temporal_jitter and vreader.duration > span:
@@ -181,8 +189,13 @@ class DenseVideoDataset(BaseVideoDataset):
 
         frames = []
         for t in clip_ts:
-            f, _ = vreader.precise_frame(t)
-            frames.append(self.visual_transform(Image.fromarray(f)))
+            if fused:
+                crop, out_size, flip = vt.crop_spec(vreader.width, vreader.height)
+                f, _ = vreader.precise_frame(t, size=out_size, crop=crop)
+                frames.append(vt.finish(f, flip))
+            else:
+                f, _ = vreader.precise_frame(t)
+                frames.append(vt(Image.fromarray(f)))
         frames = np.stack(frames)
 
         wav = areader.read(clip_ts[0] - self.audio_dur / 2,
@@ -193,7 +206,8 @@ class DenseVideoDataset(BaseVideoDataset):
             self.audio_transform(wav[:, i:i + wlen])[0][..., None] for i in offs
         ])
         vreader.close()
-        areader.close()
+        if not fused:
+            areader.close()
         return {"image": frames.astype(np.float32),
                 "audio": specs.astype(np.float32), **anno}
 
@@ -222,25 +236,40 @@ class MixtureVideoDataset(BaseVideoDataset):
 
     def getitem(self, idx):
         fns = self._filenames(idx)
+        vt = self.visual_transform
+        fused = hasattr(vt, "crop_spec")
         frames, waveforms, specs = [], [], []
         for fn in fns:
-            vreader = avreader.VideoReader(fn)
-            areader = avreader.AudioReader(fn, rate=self.audio_rate)
-            start = max(vreader.start_time, areader.start_time)
-            end = min(vreader.start_time + vreader.duration,
-                      areader.start_time + areader.duration)
+            if fused:
+                # single container open per source; fused crop-at-decode
+                vreader = areader = avreader.AVReader(fn, rate=self.audio_rate)
+                a_start, a_dur = areader.audio_start_time, areader.audio_duration
+            else:
+                vreader = avreader.VideoReader(fn)
+                areader = avreader.AudioReader(fn, rate=self.audio_rate)
+                a_start, a_dur = areader.start_time, areader.duration
+            start = max(vreader.start_time, a_start)
+            end = min(vreader.start_time + vreader.duration, a_start + a_dur)
             if self.temporal_jitter:
                 tc = random.uniform(start + self.audio_dur / 2, end - self.audio_dur / 2)
             else:
                 tc = (start + end) / 2.0
-            f, _ = vreader.quick_random_frame(tc - self.audio_dur / 2,
-                                              tc + self.audio_dur / 2)
-            frames.append(self.visual_transform(Image.fromarray(f)))
+            if fused:
+                crop, out_size, flip = vt.crop_spec(vreader.width, vreader.height)
+                f, _ = vreader.quick_random_frame(
+                    tc - self.audio_dur / 2, tc + self.audio_dur / 2,
+                    size=out_size, crop=crop)
+                frames.append(vt.finish(f, flip))
+            else:
+                f, _ = vreader.quick_random_frame(tc - self.audio_dur / 2,
+                                                  tc + self.audio_dur / 2)
+                frames.append(vt(Image.fromarray(f)))
             wav = areader.read(tc - self.audio_dur / 2, tc + self.audio_dur / 2)
             waveforms.append(wav)
             specs.append(self.audio_transform(wav)[0][..., None])
             vreader.close()
-            areader.close()
+            if not fused:
+                areader.close()
 
         mix_wav = np.stack(waveforms).sum(0)
         mix_spec = self.audio_transform(mix_wav)[0][..., None]
@@ -691,30 +720,47 @@ class AVSyncVideoDataset(BaseVideoDataset):
 
     def getitem(self, idx):
         file_id, filename, anno = self.get_sample_metadata(idx)
-        vreader = avreader.VideoReader(filename)
-        areader = avreader.AudioReader(filename, rate=self.audio_rate)
+        vt = self.visual_transform
+        fused = hasattr(vt, "crop_spec")
+        if fused:
+            vreader = areader = avreader.AVReader(filename, rate=self.audio_rate)
+            a_start0, a_dur = areader.audio_start_time, areader.audio_duration
+        else:
+            vreader = avreader.VideoReader(filename)
+            areader = avreader.AudioReader(filename, rate=self.audio_rate)
+            a_start0, a_dur = areader.start_time, areader.duration
 
         clip_dur = self.num_frames / self.video_rate
         vt0 = vreader.start_time
         vt1 = vreader.start_time + vreader.duration - clip_dur
         t = random.uniform(vt0, max(vt0, vt1))
-        frames, _ = vreader.get_clip(t, t + clip_dur, fps=self.video_rate)
-        frames = np.stack([self.visual_transform(Image.fromarray(f))
-                           for f in frames[: self.num_frames]])
+        if fused:
+            # one crop/flip for the whole clip (temporally consistent video
+            # augmentation), decoded crop-at-scale in the C++ stage
+            crop, out_size, flip = vt.crop_spec(vreader.width, vreader.height)
+            raw, _ = vreader.get_clip(t, t + clip_dur, fps=self.video_rate,
+                                      size=out_size, crop=crop)
+            frames = np.stack([vt.finish(f, flip)
+                               for f in raw[: self.num_frames]])
+        else:
+            raw, _ = vreader.get_clip(t, t + clip_dur, fps=self.video_rate)
+            frames = np.stack([vt(Image.fromarray(f))
+                               for f in raw[: self.num_frames]])
 
         is_sync = random.random() < self.sync_prob
         a_mid = t + clip_dur / 2
         if not is_sync:
             lo, hi = self.asyn_gap
-            hi = min(hi if np.isfinite(hi) else areader.duration, areader.duration)
+            hi = min(hi if np.isfinite(hi) else a_dur, a_dur)
             gap = random.uniform(lo, max(lo, hi)) * random.choice([-1, 1])
             a_mid = a_mid + gap
-        a_start = min(max(a_mid - self.audio_dur / 2, areader.start_time),
-                      areader.start_time + areader.duration - self.audio_dur)
+        a_start = min(max(a_mid - self.audio_dur / 2, a_start0),
+                      a_start0 + a_dur - self.audio_dur)
         wav = areader.read(a_start, a_start + self.audio_dur)
         mel = self.audio_transform(wav)[0][..., None]
         vreader.close()
-        areader.close()
+        if not fused:
+            areader.close()
         return {"video": frames.astype(np.float32),
                 "audio": mel.astype(np.float32),
                 "sync": np.int32(is_sync), "file_id": file_id}

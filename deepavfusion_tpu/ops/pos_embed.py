@@ -80,10 +80,12 @@ def interpolate_2d(table: np.ndarray, old_grid, new_grid) -> np.ndarray:
     import jax
     import jax.numpy as jnp
 
+    from .. import runtime
+
     oh, ow = old_grid
     nh, nw = new_grid
     d = table.shape[-1]
     x = jnp.asarray(table.reshape(1, oh, ow, d), jnp.float32)
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+    with jax.default_device(runtime.host_cpu_device()):
         y = jax.image.resize(x, (1, nh, nw, d), method="bicubic")
     return np.asarray(y).reshape(nh * nw, d)

@@ -83,13 +83,21 @@ def tree_from_path_fn(params, fn: Callable[[str, Any], Any]):
     return jax.tree_util.tree_map_with_path(lambda p, v: fn(path_str(p), v), params)
 
 
+def is_scanned_path(path: str) -> bool:
+    """Leaves of the scan-over-layers trunk (models/deepavfusion.py ScanLayer,
+    name='layers'): every leaf carries a leading stacked-depth axis."""
+    return path.startswith("layers/") or "/layers/" in path
+
+
 def weight_decay_mask(params):
     """True where decay applies: ndim>1 and not a bias/norm leaf
-    (reference train.py:89 + timm param_groups_weight_decay)."""
+    (reference train.py:89 + timm param_groups_weight_decay). Scanned leaves
+    discount the stacked-depth axis so per-layer semantics match unrolled."""
 
     def fn(path, v):
         name = path.lower()
-        return v.ndim > 1 and "bias" not in name and "norm" not in name
+        nd = v.ndim - 1 if is_scanned_path(path) else v.ndim
+        return nd > 1 and "bias" not in name and "norm" not in name
 
     return tree_from_path_fn(params, fn)
 
@@ -127,10 +135,19 @@ def layer_id_for_path(path: str, depth: int) -> int:
 
 def layer_decay_scales(params, layer_decay: float, depth: int):
     """Per-leaf lr multiplier tree: layer_decay ** (num_layers - layer_id)
-    (reference util/lr_sched.py:27-59)."""
+    (reference util/lr_sched.py:27-59).
+
+    Scanned-trunk leaves (stacked along a leading depth axis) get a
+    per-layer multiplier VECTOR shaped (depth, 1, ..., 1) — it broadcasts
+    against the stacked update inside scale_by_reference_lr, giving exactly
+    the unrolled per-block decay without abandoning the scan layout."""
     num_layers = depth + 1
 
     def fn(path, v):
+        if is_scanned_path(path):
+            ids = jnp.arange(1, v.shape[0] + 1)          # block i → id i+1
+            s = layer_decay ** (num_layers - ids)
+            return s.reshape((-1,) + (1,) * (v.ndim - 1)).astype(jnp.float32)
         lid = layer_id_for_path(path, depth)
         return layer_decay ** (num_layers - lid)
 

@@ -15,6 +15,7 @@ from ..models import avmae as avmae_mod
 from ..models import deepavfusion as trunk_mod
 from ..models.vit import vit_config
 from . import lr_sched, trainer
+from .. import runtime
 
 
 @dataclasses.dataclass
@@ -97,7 +98,7 @@ def effective_lr(cfg: PretrainConfig, world_batch: int) -> float:
 
 def init_params(model, cfg: PretrainConfig, seed: int = 0):
     """Initialize on the host CPU (fast; avoids op-by-op TPU dispatch)."""
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+    with jax.default_device(runtime.host_cpu_device()):
         img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
         aud = jnp.zeros((1, cfg.audio_mels, cfg.audio_frames, 1))
         return model.init(jax.random.key(seed), img, aud, jax.random.key(1))["params"]

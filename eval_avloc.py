@@ -88,7 +88,7 @@ def main_worker(args) -> dict:
     model = DeepAVFusion(enc_cfg, dtype=dtype)
 
     mels, frames = args.data.audio_mels, int(args.data.audio_dur * 64)
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+    with jax.default_device(runtime.host_cpu_device()):
         img0 = jnp.zeros((1, args.data.image_size, args.data.image_size, 3))
         aud0 = jnp.zeros((1, mels, frames, 1))
         params = {"encoder": model.init(jax.random.key(0), img0, aud0)["params"]}

@@ -62,7 +62,7 @@ def main_worker(args) -> dict:
     model = AVSegmSimple(enc_cfg, num_classes=ncls, dtype=dtype)
 
     mels, frames = args.data.audio_mels, int(args.data.audio_dur * 64)
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+    with jax.default_device(runtime.host_cpu_device()):
         img0 = jnp.zeros((1, args.data.image_size, args.data.image_size, 3))
         aud0 = jnp.zeros((1, mels, frames, 1))
         gt0 = (jnp.zeros((1, args.data.image_size, args.data.image_size), jnp.float32)

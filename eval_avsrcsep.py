@@ -56,12 +56,13 @@ def separate_waveform(mix_waveform: np.ndarray, pred_mask_logits: np.ndarray,
     complex FFT is unimplemented on the axon TPU backend anyway.
     """
     from deepavfusion_tpu.ops import audio as audio_ops
+    from deepavfusion_tpu import runtime
 
     n_fft = int(rate * 0.05)
     hop = int(rate / 64)
     mask = 1.0 / (1.0 + np.exp(-np.asarray(pred_mask_logits, np.float32)))
     mask = np.concatenate([mask, np.zeros(mask.shape[:-1] + (1,), np.float32)], -1)
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+    with jax.default_device(runtime.host_cpu_device()):
         lin = np.asarray(audio_ops.mel_to_linear(jnp.asarray(mask), rate, n_fft))
         spec = np.asarray(audio_ops.spectrogram(
             jnp.asarray(mix_waveform), n_fft, hop, power=None))
@@ -97,7 +98,7 @@ def main_worker(args) -> dict:
                      binary_mask=args.avss.binary_mask, dtype=dtype)
 
     mels, frames = args.data.audio_mels, int(args.data.audio_dur * 64)
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+    with jax.default_device(runtime.host_cpu_device()):
         img0 = jnp.zeros((1, args.data.image_size, args.data.image_size, 3))
         aud0 = jnp.zeros((1, mels, frames, 1))
         variables = model.init(jax.random.key(0), img0, aud0, aud0, train=True)

@@ -91,7 +91,7 @@ def main_worker(args) -> dict:
     )
     model = AVSyncClassifier(cfg, dtype=dtype)
 
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+    with jax.default_device(runtime.host_cpu_device()):
         v0 = jnp.zeros((1, num_frames, size, size, 3))
         a0 = jnp.zeros((1, mels, frames, 1))
         params = dict(model.init(jax.random.key(0), v0, a0)["params"])

@@ -186,3 +186,69 @@ def test_eval_transform_crop_spec_center():
     assert not flip and out == (224, 224)
     assert cw == ch == int(round(360 * 224 / t.resize_to))
     assert x == (640 - cw) // 2 and y == (360 - ch) // 2
+
+
+def test_dense_dataset_fused_path(h264_clip):
+    """DenseVideoDataset takes the fused single-open path with per-frame
+    crop re-draws."""
+    import os
+
+    from deepavfusion_tpu.data import datasets, transforms
+
+    db = datasets.DenseVideoDataset(
+        base_path=os.path.dirname(h264_clip),
+        video_files=[os.path.basename(h264_clip)],
+        visual_transform=transforms.ImageEvalTransform(64),
+        audio_transform=transforms.AudioEvalTransform(16000, 3.0, 32),
+        dense_n=4, dense_span=5,
+    )
+    s = db[0]
+    assert s["image"].shape == (4, 64, 64, 3)
+    assert s["audio"].shape == (4, 32, 192, 1)
+    assert np.isfinite(s["image"]).all() and np.isfinite(s["audio"]).all()
+
+
+def test_mixture_dataset_fused_path(h264_clip):
+    """MixtureVideoDataset sums K sources through the fused single-open path."""
+    import os
+    import shutil
+
+    from deepavfusion_tpu.data import datasets, transforms
+
+    second = h264_clip.replace(".mp4", "_b.mp4")
+    if not os.path.exists(second):
+        shutil.copy(h264_clip, second)
+    db = datasets.MixtureVideoDataset(
+        base_path=os.path.dirname(h264_clip),
+        video_files=[os.path.basename(h264_clip), os.path.basename(second)],
+        visual_transform=transforms.ImageTrainTransform(64, 0.5),
+        audio_transform=transforms.AudioTrainTransform(16000, 3.0, 32,
+                                                       random_vol=False),
+        num_mixtures=2, temporal_jitter=True,
+    )
+    s = db[0]
+    assert s["image"].shape == (64, 64, 3)
+    assert s["audio"].shape == (32, 192, 1)
+    assert s["mixed_audio"].shape == (32, 192, 1)
+    assert s["frames"].shape == (2, 64, 64, 3)
+    assert s["waveforms"].shape == (2, 48000)
+
+
+def test_avsync_dataset_fused_path(h264_clip):
+    """AVSyncVideoDataset decodes the whole clip with one consistent fused
+    crop (temporally consistent augmentation)."""
+    import os
+
+    from deepavfusion_tpu.data import datasets, transforms
+
+    db = datasets.AVSyncVideoDataset(
+        base_path=os.path.dirname(h264_clip),
+        video_files=[os.path.basename(h264_clip)],
+        visual_transform=transforms.ImageTrainTransform(64, 0.5),
+        audio_transform=transforms.AudioEvalTransform(16000, 3.0, 32),
+        num_frames=4, video_rate=4,
+    )
+    s = db[0]
+    assert s["video"].shape == (4, 64, 64, 3)
+    assert s["audio"].shape == (32, 192, 1)
+    assert s["sync"] in (0, 1)

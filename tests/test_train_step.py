@@ -117,6 +117,42 @@ def test_layer_ids_and_decay_scales():
     np.testing.assert_allclose(scales[("encoder", "image", "norm", "scale")], 1.0)
 
 
+def test_layer_decay_scales_scanned_match_unrolled():
+    """Scanned-trunk leaves get a per-layer multiplier vector equal to the
+    unrolled per-block scalars; weight-decay mask discounts the scan axis."""
+    import flax
+
+    depth = 3
+    unrolled = {
+        "encoder": {
+            "image": {f"blocks_{i}": {"attn": {"qkv": {
+                "kernel": jnp.zeros((8, 24)), "bias": jnp.zeros((24,))}}}
+                for i in range(depth)},
+        },
+    }
+    scanned = {
+        "encoder": {
+            "layers": {"blk_image": {"attn": {"qkv": {
+                "kernel": jnp.zeros((depth, 8, 24)),
+                "bias": jnp.zeros((depth, 24))}}}},
+        },
+    }
+    su = flax.traverse_util.flatten_dict(
+        lr_sched.layer_decay_scales(unrolled, 0.75, depth=depth))
+    ss = flax.traverse_util.flatten_dict(
+        lr_sched.layer_decay_scales(scanned, 0.75, depth=depth))
+    vec = ss[("encoder", "layers", "blk_image", "attn", "qkv", "kernel")]
+    assert vec.shape == (depth, 1, 1)
+    want = [su[("encoder", "image", f"blocks_{i}", "attn", "qkv", "kernel")]
+            for i in range(depth)]
+    np.testing.assert_allclose(np.ravel(vec), want)
+
+    wd = flax.traverse_util.flatten_dict(lr_sched.weight_decay_mask(scanned))
+    assert wd[("encoder", "layers", "blk_image", "attn", "qkv", "kernel")]
+    # stacked bias is 2-D but must NOT be decayed (matches unrolled 1-D bias)
+    assert not wd[("encoder", "layers", "blk_image", "attn", "qkv", "bias")]
+
+
 # --------------------------------------------------------------------------- #
 # Train step: convergence, accumulation equivalence, mesh
 # --------------------------------------------------------------------------- #
