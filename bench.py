@@ -10,6 +10,17 @@ is reported against a fixed reference point of 100 clips/s/chip — a
 generous estimate of the per-GPU throughput of the PyTorch stack's published
 launch configs (8 GPU × bs64; no measured number exists).
 
+Timing methodology (important): through the remote-TPU (axon) tunnel,
+``block_until_ready`` on dispatched calls does NOT reliably reflect remote
+execution completion — per-call timing loops measured 4-18 ms/step for a
+program whose true device time is ~183 ms/step (verified by losses
+decreasing across steps and invariance across sync methods). The only
+artifact-immune measurement is K steps inside ONE jitted ``lax.scan``
+(single dispatch) followed by a device→host value fetch: wall / K then
+bounds per-step time to within (dispatch+fetch)/K. That is what this bench
+reports. A per-call chunked timing is also printed for reference but never
+used for the headline number.
+
 Resilience: the TPU backend lives behind a tunnel that has died mid-session
 before (NOTES.md round 1); a bare ``jax.devices()`` can hang forever. The
 backend is probed in a subprocess with a timeout and bounded retries before
@@ -77,7 +88,7 @@ def probe_backend() -> int:
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     probe_backend()
 
@@ -106,6 +117,8 @@ def main():
     _, state, step_fn, _ = pretrain.make_pretrain_step(
         model, params, cfg, world_batch=batch, mesh=mesh
     )
+    # the raw (unjitted) step body — scanned below so K steps are ONE dispatch
+    step_body = getattr(step_fn, "__wrapped__", step_fn)
 
     rng = np.random.RandomState(0)
     batch_tree = {
@@ -115,60 +128,54 @@ def main():
     state = mesh_lib.replicate(state, mesh)
     batch_tree = mesh_lib.shard_batch(batch_tree, mesh)
 
-    # Keys pre-split on device: passing jax.random.key(k) per step would pay
-    # a host→device transfer through the tunnel inside the timed loop.
-    n_keys = 2 * steps + 2
-    all_keys = jax.device_put(
-        jax.random.split(jax.random.key(0), n_keys),
-        mesh_lib.replicated(mesh),
-    )
+    def multi_step(st, keys):
+        def body(s, k):
+            s2, m = step_body(s, batch_tree, k)
+            return s2, m["loss"]
+        return jax.lax.scan(body, st, keys)
+
+    multi = jax.jit(multi_step, donate_argnums=(0,))
+    keys = jax.device_put(jax.random.split(jax.random.key(0), steps),
+                          mesh_lib.replicated(mesh))
 
     # AOT-compile so cost_analysis FLOPs are available for MFU.
     t0 = time.perf_counter()
-    lowered = step_fn.lower(state, batch_tree, all_keys[0])
-    compiled = lowered.compile()
+    compiled = multi.lower(state, keys).compile()
     compile_s = time.perf_counter() - t0
-    try:
-        ca = compiled.cost_analysis()
+
+    def _flops(c):
+        ca = c.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops_per_step = float(ca.get("flops", 0.0))
+        return float(ca.get("flops", 0.0))
+
+    try:
+        # XLA counts a lax.scan body ONCE (not × trip count), so take the
+        # per-step FLOPs from the single-step program's cost analysis.
+        flops_per_step = _flops(step_fn.lower(state, batch_tree, keys[0]).compile())
     except Exception as e:  # cost_analysis availability varies by backend
         print(f"cost_analysis unavailable: {e}", file=sys.stderr)
         flops_per_step = 0.0
 
-    # warmup (also executes the program once end-to-end)
-    ki = 1
-    state, metrics = compiled(state, batch_tree, all_keys[ki]); ki += 1
-    jax.block_until_ready(state)
+    # warmup: one full scan executed end-to-end, result VALUE fetched
+    state, losses = compiled(state, keys)
+    warm_losses = np.asarray(jax.device_get(losses))
+    assert np.isfinite(warm_losses).all(), f"non-finite loss {warm_losses}"
 
-    # Timing mode 1 — small synced chunks: a fully async chain under-reports
-    # through the remote-dispatch tunnel; per-step sync over-reports (round
-    # trip). Chunks of 5 amortize dispatch while forcing real execution.
-    chunk = 5
-    n_chunks = max(steps // chunk, 1)
-    t0 = time.perf_counter()
-    for _ in range(n_chunks):
-        for _ in range(chunk):
-            state, metrics = compiled(state, batch_tree, all_keys[ki]); ki += 1
-        jax.block_until_ready(state)
-    dt_chunked = (time.perf_counter() - t0) / (n_chunks * chunk)
+    # Timed reps: each is one dispatch of `steps` scanned train steps,
+    # bounded by a device→host fetch of the per-step losses. Median of reps.
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, losses = compiled(state, keys)
+        last_loss = float(np.asarray(jax.device_get(losses))[-1])
+        reps.append((time.perf_counter() - t0) / steps)
+    dt = float(np.median(reps))
 
-    # Timing mode 2 — one long async run, single final sync. Agreement with
-    # mode 1 (≤ ~20%) certifies the number isn't a dispatch-pipeline artifact.
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = compiled(state, batch_tree, all_keys[ki % n_keys]); ki += 1
-    jax.block_until_ready(state)
-    dt_long = (time.perf_counter() - t0) / steps
-
-    # Report the more conservative (slower) of the two timings.
-    dt = max(dt_chunked, dt_long)
     clips_per_sec_per_chip = batch / dt / n_dev
     mfu = (flops_per_step / dt / (V5E_PEAK_BF16_FLOPS * n_dev)
            if flops_per_step else None)
-    loss = float(metrics["loss"])
-    assert np.isfinite(loss), f"non-finite loss {loss}"
+    assert np.isfinite(last_loss), f"non-finite loss {last_loss}"
     if mfu is not None and not (0.0 < mfu < 1.0):
         print(f"WARNING: implausible MFU {mfu:.3f} — timing artifact?",
               file=sys.stderr)
@@ -179,10 +186,11 @@ def main():
         "unit": "clips/s/chip",
         "vs_baseline": round(clips_per_sec_per_chip / REFERENCE_CLIPS_PER_SEC_PER_CHIP, 3),
         "mfu": round(mfu, 4) if mfu is not None else None,
-        "step_ms_chunked": round(dt_chunked * 1e3, 2),
-        "step_ms_longrun": round(dt_long * 1e3, 2),
+        "step_ms": round(dt * 1e3, 2),
+        "step_ms_reps": [round(r * 1e3, 2) for r in reps],
         "tflops_per_step": round(flops_per_step / 1e12, 2),
         "compile_s": round(compile_s, 1),
+        "scan_steps_per_dispatch": steps,
         "batch": batch,
         "devices": n_dev,
         "backend": jax.default_backend(),

@@ -24,16 +24,44 @@ import time
 import numpy as np
 
 
-def time_fn(fn, args, iters=50, warmup=2):
-    import jax
+def time_chained(op, q, k, v, iters=50, grad=False):
+    """Time `iters` applications of op chained inside ONE lax.scan dispatch,
+    bounded by a device→host value fetch.
 
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    Through the remote-TPU tunnel, per-call timing + block_until_ready
+    under-reports by >10x (see bench.py docstring); a single dispatch of a
+    scanned chain (each iteration's output feeding the next's query) is the
+    only artifact-immune measurement. The chain also prevents XLA from
+    eliding repeated identical applications.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if grad:
+        def loss(qq, kk, vv):
+            return op(qq, kk, vv).astype(jnp.float32).sum()
+
+        g = jax.grad(loss, argnums=(0, 1, 2))
+
+        def body(c, _):
+            dq, dk, dv = g(c, k, v)
+            # fold the grads back into the carry to keep the chain live
+            return (c + 1e-6 * dq.astype(c.dtype)), ()
+    else:
+        def body(c, _):
+            return op(c, k, v).astype(c.dtype), ()
+
+    def chain(c):
+        out, _ = jax.lax.scan(body, c, None, length=iters)
+        return out
+
+    f = jax.jit(chain)
+    out = f(q)                                   # compile + warm
+    _ = np.asarray(jax.device_get(out.ravel()[0]))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    out = f(q)
+    _ = np.asarray(jax.device_get(out.ravel()[0]))
     return (time.perf_counter() - t0) / iters
 
 
@@ -88,29 +116,30 @@ def main():
         k = jnp.asarray(rng.randn(B, h, nk, dh), jnp.bfloat16)
         v = jnp.asarray(rng.randn(B, h, nk, dh), jnp.bfloat16)
 
-        xla_f = jax.jit(lambda q, k, v: attention.xla_attention(q, k, v, scale=scale))
-        pal_f = jax.jit(lambda q, k, v: flash_attention(q, k, v, scale=scale, interpret=interp))
+        xla_op = lambda q, k, v: attention.xla_attention(q, k, v, scale=scale)
+        pal_op = lambda q, k, v: flash_attention(q, k, v, scale=scale, interpret=interp)
 
         row = {}
-        row["xla_fwd_us"] = round(time_fn(xla_f, (q, k, v)) * 1e6, 1)
-        row["pallas_fwd_us"] = round(time_fn(pal_f, (q, k, v)) * 1e6, 1)
+        row["xla_fwd_us"] = round(time_chained(xla_op, q, k, v) * 1e6, 1)
+        row["pallas_fwd_us"] = round(time_chained(pal_op, q, k, v) * 1e6, 1)
         pallas_wins_fwd += row["pallas_fwd_us"] < row["xla_fwd_us"]
 
         if not fwd_only:
+            row["xla_bwd_us"] = round(
+                time_chained(xla_op, q, k, v, grad=True) * 1e6, 1)
+            row["pallas_bwd_us"] = round(
+                time_chained(pal_op, q, k, v, grad=True) * 1e6, 1)
+            pallas_wins_train += row["pallas_bwd_us"] < row["xla_bwd_us"]
+
             def loss_x(q, k, v):
                 return attention.xla_attention(q, k, v, scale=scale).astype(jnp.float32).sum()
 
             def loss_p(q, k, v):
                 return flash_attention(q, k, v, scale=scale, interpret=interp).astype(jnp.float32).sum()
 
-            xla_g = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2)))
-            pal_g = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))
-            row["xla_bwd_us"] = round(time_fn(xla_g, (q, k, v)) * 1e6, 1)
-            row["pallas_bwd_us"] = round(time_fn(pal_g, (q, k, v)) * 1e6, 1)
-            pallas_wins_train += row["pallas_bwd_us"] < row["xla_bwd_us"]
             # numerical cross-check while we're here
-            gx = xla_g(q, k, v)
-            gp = pal_g(q, k, v)
+            gx = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2)))(q, k, v)
+            gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))(q, k, v)
             err = max(float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
                       for a, b in zip(gx, gp))
             row["grad_max_abs_err"] = round(err, 5)
