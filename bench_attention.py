@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 
-def time_chained(op, q, k, v, iters=50, grad=False):
+def time_chained(op, q, k, v, iters=400, grad=False):
     """Time `iters` applications of op chained inside ONE lax.scan dispatch,
     bounded by a device→host value fetch.
 
