@@ -64,6 +64,52 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def _is_scanned_path(path: str) -> bool:
+    # scan-over-layers trunk leaves carry a leading stacked-depth axis
+    # (models/deepavfusion.py ScanLayer, name='layers')
+    return path.startswith("layers/") or "/layers/" in path
+
+
+def tp_param_spec(path: str, v, model_axis: str = "model",
+                  model_size: int = 1) -> P:
+    """PartitionSpec for one parameter leaf under tensor parallelism.
+
+    Megatron-style column sharding via GSPMD: ≥2-D kernels shard their last
+    dimension over the model axis when divisible (qkv/mlp/proj kernels, conv
+    patch embeds, pos embeds); 1-D leaves (bias/scale) and non-divisible
+    shapes replicate. Scanned-trunk leaves ignore the leading depth axis.
+    XLA inserts the all-gathers/reduce-scatters — no hand-written
+    collectives (SURVEY §7 'room for a model axis').
+    """
+    start = 1 if _is_scanned_path(path) else 0
+    if v.ndim - start < 2:
+        return P()
+    d = v.ndim - 1
+    if v.shape[d] % model_size == 0 and v.shape[d] >= 2 * model_size:
+        spec = [None] * v.ndim
+        spec[d] = model_axis
+        return P(*spec)
+    return P()
+
+
+def tp_shard_params(params, mesh: Mesh, model_axis: str = "model"):
+    """Place a parameter pytree with tensor-parallel shardings.
+
+    Use with a ≥2-D mesh (e.g. {'data': 2, 'model': 4}) and an
+    inferred-sharding train step: jit propagates these placements through
+    grads, the optimizer update, and the new state, so optimizer state is
+    sharded identically (per-chip param+optimizer memory drops ~model_size x).
+    """
+    model_size = mesh.shape[model_axis]
+
+    def place(path, v):
+        p = "/".join(getattr(k, "key", str(getattr(k, "idx", k))) for k in path)
+        return jax.device_put(
+            v, NamedSharding(mesh, tp_param_spec(p, v, model_axis, model_size)))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
 def host_gather(tree):
     """Concatenate host-local numpy arrays across processes along axis 0.
 
