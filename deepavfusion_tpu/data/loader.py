@@ -117,6 +117,14 @@ class DataLoader:
 def get_dataloader(dataset, distributed: bool = True, batch_size: int = 32,
                    workers: int = 8, shuffle: bool = True, drop_last: bool = True,
                    **kw) -> DataLoader:
-    """Factory with the reference signature (util/data.py:6-22)."""
+    """Factory with the reference signature (util/data.py:6-22).
+
+    Matches the reference sampler choice exactly: DistributedSampler
+    (shuffled, without replacement) when distributed, else
+    RandomSampler(replacement=True) for shuffled non-distributed loading
+    (util/data.py:10-12). An explicit ``replacement=`` kwarg overrides.
+    """
+    if "replacement" not in kw or kw["replacement"] is None:
+        kw["replacement"] = bool(shuffle and not distributed)
     return DataLoader(dataset, batch_size, shuffle=shuffle, drop_last=drop_last,
                       workers=workers, **kw)

@@ -316,3 +316,28 @@ def test_pipeline_classification_loader_and_class_dist(vggsound_root):
 
     dist = pipeline.class_distribution(args)
     assert dist.ndim == 1 and abs(dist.sum() - 1.0) < 1e-5
+
+
+def test_loader_replacement_default_matches_reference():
+    """Non-distributed shuffled loading samples WITH replacement
+    (reference util/data.py:10-12); distributed does not."""
+    from deepavfusion_tpu.data import loader
+
+    class Tiny:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.zeros(2, np.float32)}
+
+    dl = loader.get_dataloader(Tiny(), distributed=False, batch_size=2)
+    assert dl.replacement is True
+    dl = loader.get_dataloader(Tiny(), distributed=True, batch_size=2)
+    assert dl.replacement is False
+    dl = loader.get_dataloader(Tiny(), distributed=False, batch_size=2,
+                               shuffle=False)
+    assert dl.replacement is False
+    # replacement sampling actually repeats indices
+    dl = loader.get_dataloader(Tiny(), distributed=False, batch_size=2, seed=3)
+    idxs = dl._indices()
+    assert len(idxs) == 10 and len(set(idxs)) < 10
