@@ -304,10 +304,25 @@ class FolderVideoDataset:
         self.return_semantics = return_semantics
 
     def _read(self, file_id, frame_no, start, class_labels):
-        frame = Image.open(f"{self.path}/{file_id}/frames/{frame_no}.jpg").convert("RGB")
-        segm = Image.open(
+        from . import transforms as tf_mod
+
+        vt = self.visual_transform
+        frame_fn = f"{self.path}/{file_id}/frames/{frame_no}.jpg"
+        segm_img = Image.open(
             f"{self.path}/{file_id}/labels_semantic/{frame_no}.png").convert("L")
-        frame, (segm,) = self.visual_transform(frame, labels=(segm,))
+        if hasattr(vt, "crop_spec"):
+            # fused path: the C++ stage decodes the JPEG (image2 demuxer)
+            # with crop+scale applied in swscale; the label map gets the
+            # same geometry via NEAREST resampling in PIL (labels are tiny)
+            r = avreader.VideoReader(frame_fn)
+            crop, out_size, flip = vt.crop_spec(r.width, r.height)
+            arr, _ = r.precise_frame(0.0, size=out_size, crop=crop)
+            r.close()
+            frame = vt.finish(arr, flip)
+            segm = tf_mod.finish_label(segm_img, crop, out_size, flip)
+        else:
+            img = Image.open(frame_fn).convert("RGB")
+            frame, (segm,) = vt(img, labels=(segm_img,))
         segm = np.asarray(segm, np.int64).copy()
         keep = np.isin(segm, [l - 1 for l in class_labels])
         segm = np.where(keep, segm, 0)

@@ -121,6 +121,16 @@ class ImageTrainTransform:
         return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def finish_label(label: Image.Image, crop, out_size, flip: bool) -> np.ndarray:
+    """Apply a crop_spec's geometry to a paired label map: crop → NEAREST
+    resize → flip, mirroring the image's fused decode-time crop exactly
+    (the paired-transform contract of util/image_labels_transforms.py)."""
+    x, y, cw, ch = crop
+    out = label.crop((x, y, x + cw, y + ch)).resize(out_size, Image.NEAREST)
+    arr = np.asarray(out)
+    return arr[:, ::-1].copy() if flip else arr
+
+
 class ImageEvalTransform:
     """Resize(size/0.875) + CenterCrop + Normalize (eval_linprobe.py:71-72).
 

@@ -341,3 +341,27 @@ def test_loader_replacement_default_matches_reference():
     dl = loader.get_dataloader(Tiny(), distributed=False, batch_size=2, seed=3)
     idxs = dl._indices()
     assert len(idxs) == 10 and len(set(idxs)) < 10
+
+
+def test_folder_fused_jpeg_decode_matches_pil(avsbench_root, tmp_path):
+    """The C++ stage decodes single JPEGs (image2 demuxer) with fused
+    crop+scale; label maps get the same geometry via finish_label."""
+    import glob as _glob
+
+    from deepavfusion_tpu.data import avreader
+
+    jpg = sorted(_glob.glob(f"{avsbench_root}/v1s/u0/frames/*.jpg"))[0]
+    r = avreader.VideoReader(jpg)
+    assert (r.width, r.height) == (64, 48)
+    arr, _ = r.precise_frame(0.0, size=(32, 32), crop=(8, 4, 48, 40))
+    r.close()
+    pil = Image.open(jpg).convert("RGB").crop((8, 4, 56, 44)).resize(
+        (32, 32), Image.BILINEAR)
+    diff = np.abs(np.asarray(pil, np.float32) - arr.astype(np.float32))
+    assert diff.mean() < 4.0, diff.mean()
+
+    lbl = Image.open(sorted(
+        _glob.glob(f"{avsbench_root}/v1s/u0/labels_semantic/*.png"))[0]).convert("L")
+    out = transforms.finish_label(lbl, (8, 4, 48, 40), (32, 32), flip=True)
+    assert out.shape == (32, 32)
+    assert set(np.unique(out)) <= set(np.unique(np.asarray(lbl)))
