@@ -110,8 +110,10 @@ def main():
     # scan_layers: the per-layer trio compiles once (lax.scan over stacked
     # params) — bit-identical to the unrolled trunk (tested) and ~12x smaller
     # XLA program, keeping the one-time remote compile tractable.
+    remat = os.environ.get("DAVF_BENCH_REMAT", "0") == "1"
     cfg = pretrain.PretrainConfig(fusion_mlp_ratio=1.0, dtype=jnp.bfloat16,
-                                  steps_per_epoch=1000.0, scan_layers=True)
+                                  steps_per_epoch=1000.0, scan_layers=True,
+                                  remat=remat)
     model = pretrain.build_model(cfg)
     params = pretrain.init_params(model, cfg, seed=0)
     _, state, step_fn, _ = pretrain.make_pretrain_step(

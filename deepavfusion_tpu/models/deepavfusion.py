@@ -64,6 +64,11 @@ class DeepAVFusionConfig:
     # Param layout changes (blocks live stacked under 'layers'); use
     # convert.torch2jax.stack_trunk / unstack_trunk to translate.
     scan_layers: bool = False
+    # Rematerialize the scanned layer trio in the backward pass: the step is
+    # HBM-traffic-bound (measured ~15 GB of XLA temps for the B=64 ViT-B MAE
+    # step), so trading saved activations for recompute targets the actual
+    # bottleneck. Applies to the scan trunk; unrolled blocks use ViTConfig.remat.
+    remat: bool = False
 
     @property
     def embed_dim(self) -> int:
@@ -176,8 +181,10 @@ class DeepAVFusion(nn.Module):
             (1, c.total_fusion_tokens, c.embed_dim),
         )
         if self.use_scan:
+            body = (nn.remat(TrunkLayer, static_argnums=(2,))
+                    if c.remat else TrunkLayer)
             ScanLayer = nn.scan(
-                TrunkLayer,
+                body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=c.max_depth,

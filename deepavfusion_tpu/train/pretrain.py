@@ -25,6 +25,7 @@ class PretrainConfig:
     image_depth: Optional[int] = None      # test-only depth override
     audio_depth: Optional[int] = None
     scan_layers: bool = False              # lax.scan over layer trios
+    remat: bool = False                    # rematerialize scanned layer trios
     image_size: int = 224
     audio_mels: int = 128
     audio_frames: int = 192          # int(audio_dur * 64), train.py:65
@@ -74,6 +75,7 @@ def build_model(cfg: PretrainConfig) -> avmae_mod.AVMAE:
         fusion_attn_ratio=cfg.fusion_attn_ratio,
         fusion_num_heads=cfg.fusion_num_heads,
         scan_layers=cfg.scan_layers,
+        remat=cfg.remat,
     )
     mae = avmae_mod.AVMAEConfig(
         encoder=enc,

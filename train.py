@@ -42,6 +42,7 @@ def main_worker(args) -> dict:
         image_depth=args.model.image.get("depth"),
         audio_depth=args.model.audio.get("depth"),
         scan_layers=bool(args.model.get("scan_layers", False)),
+        remat=bool(args.model.get("remat", False)),
         image_size=args.data.image_size,
         audio_mels=args.data.audio_mels,
         audio_frames=int(args.data.audio_dur * 64),
