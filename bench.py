@@ -110,7 +110,10 @@ def main():
     # scan_layers: the per-layer trio compiles once (lax.scan over stacked
     # params) — bit-identical to the unrolled trunk (tested) and ~12x smaller
     # XLA program, keeping the one-time remote compile tractable.
-    remat = os.environ.get("DAVF_BENCH_REMAT", "0") == "1"
+    # remat measured FASTER on the v5e (160.1 vs 183.2 ms/step at B=64): the
+    # step is HBM-traffic-bound (15 GB XLA temps without remat), so backward
+    # recompute trades idle MXU FLOPs for saved-activation traffic.
+    remat = os.environ.get("DAVF_BENCH_REMAT", "1") == "1"
     cfg = pretrain.PretrainConfig(fusion_mlp_ratio=1.0, dtype=jnp.bfloat16,
                                   steps_per_epoch=1000.0, scan_layers=True,
                                   remat=remat)
