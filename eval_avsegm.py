@@ -108,7 +108,7 @@ def main_worker(args) -> dict:
 
     def loaders(epoch, train):
         if use_synthetic(args):
-            n = int(steps_per_epoch) if train else 4
+            n = max(int(steps_per_epoch), 1) if train else 4
             return synthetic_segm_loader(
                 args.opt.batch_size * (args.opt.accum_iter if train else 1), n,
                 args.data.image_size, mels, frames, ncls,

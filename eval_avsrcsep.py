@@ -141,7 +141,7 @@ def main_worker(args) -> dict:
 
     def loaders(epoch, train):
         if use_synthetic(args):
-            n = int(steps_per_epoch) if train else 2
+            n = max(int(steps_per_epoch), 1) if train else 2
             return synthetic_srcsep_loader(
                 args.opt.batch_size * (args.opt.accum_iter if train else 1), n,
                 args.data.image_size, mels, frames, args.data.audio_rate,

@@ -126,7 +126,7 @@ def main_worker(args) -> dict:
 
     def loaders(epoch, train):
         if use_synthetic(args):
-            n = int(steps_per_epoch) if train else 4
+            n = max(int(steps_per_epoch), 1) if train else 4
             return synthetic_sync_loader(
                 args.opt.batch_size * (args.opt.accum_iter if train else 1), n,
                 num_frames, size, mels, frames, seed=epoch * 1000 + (0 if train else 7))

@@ -141,7 +141,7 @@ def main_worker(args) -> dict:
 
     def loaders(epoch, train):
         if use_synthetic(args):
-            n = int(steps_per_epoch) if train else 8
+            n = max(int(steps_per_epoch), 1) if train else 8
             return synthetic.synthetic_loader(
                 args.opt.batch_size * (args.opt.accum_iter if train else 1), n,
                 seed=epoch * 1000 + (0 if train else 777),

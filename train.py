@@ -85,7 +85,8 @@ def main_worker(args) -> dict:
     def epoch_loader(epoch):
         if use_synthetic(args):
             return synthetic.synthetic_loader(
-                cfg.batch_size * cfg.accum_iter, steps_per_epoch // cfg.accum_iter,
+                cfg.batch_size * cfg.accum_iter,
+                max(steps_per_epoch // cfg.accum_iter, 1),
                 seed=epoch * 100_000, image_size=cfg.image_size,
                 audio_mels=cfg.audio_mels, audio_frames=cfg.audio_frames,
             )
