@@ -114,9 +114,10 @@ def main():
     # step is HBM-traffic-bound (15 GB XLA temps without remat), so backward
     # recompute trades idle MXU FLOPs for saved-activation traffic.
     remat = os.environ.get("DAVF_BENCH_REMAT", "1") == "1"
+    scan = os.environ.get("DAVF_BENCH_SCAN", "1") == "1"
     cfg = pretrain.PretrainConfig(fusion_mlp_ratio=1.0, dtype=jnp.bfloat16,
-                                  steps_per_epoch=1000.0, scan_layers=True,
-                                  remat=remat)
+                                  steps_per_epoch=1000.0, scan_layers=scan,
+                                  remat=remat and scan)
     model = pretrain.build_model(cfg)
     params = pretrain.init_params(model, cfg, seed=0)
     _, state, step_fn, _ = pretrain.make_pretrain_step(
