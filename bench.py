@@ -110,11 +110,17 @@ def main():
     # scan_layers: the per-layer trio compiles once (lax.scan over stacked
     # params) — bit-identical to the unrolled trunk (tested) and ~12x smaller
     # XLA program, keeping the one-time remote compile tractable.
-    # remat measured FASTER on the v5e (160.1 vs 183.2 ms/step at B=64): the
-    # step is HBM-traffic-bound (15 GB XLA temps without remat), so backward
-    # recompute trades idle MXU FLOPs for saved-activation traffic.
+    # Trunk-layout ladder measured on the v5e at B=64 (see NOTES.md):
+    #   scan trunk            183.2 ms/step
+    #   scan + remat          160.1 ms/step
+    #   unrolled (default)    126.1 ms/step, MFU 0.376
+    # The unrolled trunk lets XLA fuse/pipeline across layer boundaries at
+    # the cost of a ~12x larger one-time compile (725 s cold through the
+    # tunnel, persisted). DAVF_BENCH_SCAN=1 benches the scan trunk instead
+    # (NB: cost_analysis counts a scan body once, so MFU is undercounted
+    # ~2x in that mode); DAVF_BENCH_REMAT toggles scan-trunk remat.
     remat = os.environ.get("DAVF_BENCH_REMAT", "1") == "1"
-    scan = os.environ.get("DAVF_BENCH_SCAN", "1") == "1"
+    scan = os.environ.get("DAVF_BENCH_SCAN", "0") == "1"
     cfg = pretrain.PretrainConfig(fusion_mlp_ratio=1.0, dtype=jnp.bfloat16,
                                   steps_per_epoch=1000.0, scan_layers=scan,
                                   remat=remat and scan)
