@@ -123,7 +123,7 @@ def main():
     scan = os.environ.get("DAVF_BENCH_SCAN", "0") == "1"
     cfg = pretrain.PretrainConfig(fusion_mlp_ratio=1.0, dtype=jnp.bfloat16,
                                   steps_per_epoch=1000.0, scan_layers=scan,
-                                  remat=remat and scan)
+                                  remat=remat)
     model = pretrain.build_model(cfg)
     params = pretrain.init_params(model, cfg, seed=0)
     _, state, step_fn, _ = pretrain.make_pretrain_step(

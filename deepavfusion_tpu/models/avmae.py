@@ -48,6 +48,7 @@ class AVMAEConfig:
     decoder_num_heads: int = 16
     decoder_mlp_ratio: float = 4.0
     norm_eps: float = 1e-5  # decoders use plain nn.LayerNorm (avmae.py:14)
+    remat: bool = False     # rematerialize decoder blocks (plain arch)
 
 
 class MAEDecoder(nn.Module):
@@ -60,6 +61,7 @@ class MAEDecoder(nn.Module):
     num_heads: int = 16
     mlp_ratio: float = 4.0
     norm_eps: float = 1e-5
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -90,8 +92,10 @@ class MAEDecoder(nn.Module):
                 for i in range(self.cfg.depth)
             ]
         else:
+            BlockCls = (nn.remat(Block, static_argnums=(2,))
+                        if self.remat else Block)
             self.blocks = [
-                Block(
+                BlockCls(
                     self.num_heads, self.mlp_ratio, qkv_bias=True,
                     norm_eps=self.norm_eps, dtype=self.dtype, name=f"blocks_{i}",
                 )
@@ -118,7 +122,7 @@ class MAEDecoder(nn.Module):
         if self.cfg.arch == "plain":
             x = jnp.concatenate([x_fusion, x], axis=1)
             for blk in self.blocks:
-                x = blk(x, deterministic=deterministic)
+                x = blk(x, deterministic)   # positional: remat static_argnums
             x = x[:, nF:]
         elif self.cfg.arch == "swin":
             for blk in self.blocks:
@@ -164,12 +168,12 @@ class AVMAE(nn.Module):
         self.image_decoder = MAEDecoder(
             c.image_decoder, c.encoder.image.grid_size, ips[0] * ips[1] * 3,
             c.decoder_dim, c.decoder_num_heads, c.decoder_mlp_ratio,
-            c.norm_eps, dtype=self.dtype, name="image_decoder",
+            c.norm_eps, remat=c.remat, dtype=self.dtype, name="image_decoder",
         )
         self.audio_decoder = MAEDecoder(
             c.audio_decoder, c.encoder.audio.grid_size, aps[0] * aps[1] * 1,
             c.decoder_dim, c.decoder_num_heads, c.decoder_mlp_ratio,
-            c.norm_eps, dtype=self.dtype, name="audio_decoder",
+            c.norm_eps, remat=c.remat, dtype=self.dtype, name="audio_decoder",
         )
 
     def __call__(

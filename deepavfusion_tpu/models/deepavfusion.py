@@ -64,10 +64,11 @@ class DeepAVFusionConfig:
     # Param layout changes (blocks live stacked under 'layers'); use
     # convert.torch2jax.stack_trunk / unstack_trunk to translate.
     scan_layers: bool = False
-    # Rematerialize the scanned layer trio in the backward pass: the step is
-    # HBM-traffic-bound (measured ~15 GB of XLA temps for the B=64 ViT-B MAE
-    # step), so trading saved activations for recompute targets the actual
-    # bottleneck. Applies to the scan trunk; unrolled blocks use ViTConfig.remat.
+    # Rematerialize blocks in the backward pass: the step is HBM-traffic-bound
+    # (measured ~15 GB of XLA temps for the B=64 ViT-B MAE step), so trading
+    # saved activations for recompute targets the actual bottleneck. With
+    # scan_layers it wraps the scanned trio; unrolled it wraps the ViT blocks
+    # and fusion blocks.
     remat: bool = False
 
     @property
@@ -171,8 +172,13 @@ class DeepAVFusion(nn.Module):
         )
         import dataclasses as _dc
 
-        vit_image_cfg = _dc.replace(c.image, depth=0) if self.use_scan else c.image
-        vit_audio_cfg = _dc.replace(c.audio, depth=0) if self.use_scan else c.audio
+        if self.use_scan:
+            vit_image_cfg = _dc.replace(c.image, depth=0)
+            vit_audio_cfg = _dc.replace(c.audio, depth=0)
+        else:
+            # cfg.remat covers the unrolled blocks too (ViT remat + fusion)
+            vit_image_cfg = _dc.replace(c.image, remat=c.image.remat or c.remat)
+            vit_audio_cfg = _dc.replace(c.audio, remat=c.audio.remat or c.remat)
         self.image = ViT(vit_image_cfg, dtype=self.dtype, name="image")
         self.audio = ViT(vit_audio_cfg, dtype=self.dtype, name="audio")
         self.fusion_tokens = self.param(
@@ -194,8 +200,10 @@ class DeepAVFusion(nn.Module):
             self.fusion_blocks = []
         else:
             layers = c.fusion_layer_set
+            FB = (nn.remat(FusionBlock, static_argnums=(4,))
+                  if c.remat else FusionBlock)
             self.fusion_blocks = [
-                FusionBlock(
+                FB(
                     arch=c.fusion_arch,
                     num_heads=c.fusion_num_heads,
                     attn_ratio=c.fusion_attn_ratio,
@@ -267,9 +275,8 @@ class DeepAVFusion(nn.Module):
                     jnp.concatenate([x_fusion, x_audio], axis=1), deterministic
                 )[:, nF:]
                 # fusion track updates from PRE-block modality states (quirk)
-                x_fusion = blk_fusion(
-                    x_fusion, x_image, x_audio, deterministic=deterministic
-                )
+                # (deterministic positional: nn.remat static_argnums)
+                x_fusion = blk_fusion(x_fusion, x_image, x_audio, deterministic)
                 x_image, x_audio = _x_image, _x_audio
             if return_embs:
                 embs.append((x_image, x_audio, x_fusion))

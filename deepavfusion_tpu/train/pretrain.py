@@ -79,6 +79,7 @@ def build_model(cfg: PretrainConfig) -> avmae_mod.AVMAE:
     )
     mae = avmae_mod.AVMAEConfig(
         encoder=enc,
+        remat=cfg.remat,
         image_decoder=avmae_mod.MAEDecoderConfig(
             cfg.image_decoder_arch, cfg.image_decoder_depth,
             cfg.image_mask_ratio, cfg.image_norm_loss,
