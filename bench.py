@@ -113,13 +113,14 @@ def main():
     # Trunk-layout ladder measured on the v5e at B=64 (see NOTES.md):
     #   scan trunk            183.2 ms/step
     #   scan + remat          160.1 ms/step
+    #   unrolled + remat      161.4 ms/step (24% recompute FLOPs, no win)
     #   unrolled (default)    126.1 ms/step, MFU 0.376
     # The unrolled trunk lets XLA fuse/pipeline across layer boundaries at
     # the cost of a ~12x larger one-time compile (725 s cold through the
-    # tunnel, persisted). DAVF_BENCH_SCAN=1 benches the scan trunk instead
-    # (NB: cost_analysis counts a scan body once, so MFU is undercounted
-    # ~2x in that mode); DAVF_BENCH_REMAT toggles scan-trunk remat.
-    remat = os.environ.get("DAVF_BENCH_REMAT", "1") == "1"
+    # tunnel, persisted). DAVF_BENCH_SCAN=1 benches the scan trunk (NB:
+    # cost_analysis counts a scan body once, so MFU is undercounted ~2x in
+    # that mode); DAVF_BENCH_REMAT=1 adds remat (helps ONLY the scan trunk).
+    remat = os.environ.get("DAVF_BENCH_REMAT", "0") == "1"
     scan = os.environ.get("DAVF_BENCH_SCAN", "0") == "1"
     cfg = pretrain.PretrainConfig(fusion_mlp_ratio=1.0, dtype=jnp.bfloat16,
                                   steps_per_epoch=1000.0, scan_layers=scan,
