@@ -85,7 +85,8 @@ class SelfAttention(nn.Module):
         q = attn_ops.split_heads(q, self.num_heads)
         k = attn_ops.split_heads(k, self.num_heads)
         v = attn_ops.split_heads(v, self.num_heads)
-        out = attn_ops.dot_product_attention(q, k, v, return_weights=return_weights)
+        out = attn_ops.dot_product_attention(q, k, v, return_weights=return_weights,
+                                             inference=deterministic)
         if return_weights:
             out, weights = out
         out = attn_ops.merge_heads(out)
@@ -120,7 +121,8 @@ class CrossAttention(nn.Module):
         q = attn_ops.split_heads(q, self.num_heads)
         k = attn_ops.split_heads(k, self.num_heads)
         v = attn_ops.split_heads(v, self.num_heads)
-        out = attn_ops.dot_product_attention(q, k, v, return_weights=return_weights)
+        out = attn_ops.dot_product_attention(q, k, v, return_weights=return_weights,
+                                             inference=deterministic)
         if return_weights:
             out, weights = out
         out = attn_ops.merge_heads(out)

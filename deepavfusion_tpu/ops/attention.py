@@ -14,14 +14,21 @@ import jax
 import jax.numpy as jnp
 
 
-def _use_pallas_default() -> bool:
-    """Pallas dispatch policy.
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
-    The fused kernels are correctness-tested (forward on real TPU; forward +
-    custom-VJP backward in interpret mode), but the backward kernel has not
-    yet been A/B-verified faster than XLA's fusion at these small sequence
-    lengths (≤324 tokens) on real hardware. Until then the default path is
-    XLA; set DAVF_PALLAS=1 to route all attention through the Pallas kernels.
+
+def _use_pallas_default() -> bool:
+    """Global Pallas override.
+
+    On-hardware A/B (v5e, all 10 real shapes, fwd+bwd, 400-iteration
+    single-dispatch chains — NOTES.md): XLA wins 17/20, so XLA is the
+    training default. Set DAVF_PALLAS=1 to force the Pallas kernels
+    everywhere, DAVF_NO_PALLAS=1 to force XLA everywhere (disables the
+    large-N inference fast path below too).
     """
     import os
 
@@ -29,10 +36,28 @@ def _use_pallas_default() -> bool:
         return False
     if not os.environ.get("DAVF_PALLAS"):
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
+    return _on_tpu()
+
+
+# The isolated-op A/B showed Pallas fwd wins at the two largest shapes
+# (228 tokens: 875→620 µs; 324: 1259→921 µs), but IN-CONTEXT measurement
+# (full ViT block fwd at 64×228×768 on the v5e) showed the Pallas custom
+# call 15x SLOWER than the XLA path (38.9 vs 2.6 ms/block) — inserting the
+# custom call breaks XLA's fusion across the qkv/mlp neighborhood. The
+# auto route is therefore OPT-IN (DAVF_PALLAS_INFER=1) until the in-context
+# regression is root-caused; isolated-op wins do not transfer.
+_PALLAS_INFERENCE_MIN_N = 192
+
+
+def _pallas_for_inference(q, k, bias) -> bool:
+    import os
+
+    if os.environ.get("DAVF_NO_PALLAS"):
         return False
+    if not os.environ.get("DAVF_PALLAS_INFER"):
+        return False
+    return (bias is None and q.shape[2] >= _PALLAS_INFERENCE_MIN_N
+            and k.shape[2] >= _PALLAS_INFERENCE_MIN_N and _on_tpu())
 
 
 def xla_attention(
@@ -73,16 +98,23 @@ def dot_product_attention(
     return_weights: bool = False,
     use_pallas: bool | None = None,
     scale: float | None = None,
+    inference: bool = False,
 ):
-    """Dispatching attention: Pallas flash kernel on TPU, XLA einsum elsewhere.
+    """Dispatching attention.
 
-    Falls back to XLA whenever attention weights are requested (probing /
-    visualization paths) or an additive bias is supplied.
+    Policy (data-driven, NOTES.md A/B): XLA einsum everywhere by default —
+    the isolated-op Pallas wins did NOT transfer in context (see
+    _pallas_for_inference). DAVF_PALLAS=1 forces Pallas globally;
+    DAVF_PALLAS_INFER=1 enables the large-N inference route. Falls back to
+    XLA whenever attention weights are requested or a bias is supplied. The
+    Pallas kernel carries a custom VJP, so a differentiated call stays
+    correct either way.
     """
     if return_weights or bias is not None:
         return xla_attention(q, k, v, bias=bias, return_weights=return_weights, scale=scale)
     if use_pallas is None:
-        use_pallas = _use_pallas_default()
+        use_pallas = _use_pallas_default() or (
+            inference and _pallas_for_inference(q, k, bias))
     if use_pallas:
         from .pallas.flash_attention import flash_attention
 

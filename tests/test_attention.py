@@ -82,3 +82,25 @@ def test_flash_attention_gradient_matches_xla():
     g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_p, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_pallas_inference_policy(monkeypatch):
+    """Large-N inference routes to Pallas on TPU; training/small/biased
+    shapes stay XLA (policy from the on-hardware A/B, NOTES.md)."""
+    import numpy as np
+
+    from deepavfusion_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_on_tpu", lambda: True)
+    q = np.zeros((1, 2, 228, 32)); k = np.zeros((1, 2, 228, 32))
+    small_q = np.zeros((1, 2, 81, 32))
+    assert not A._pallas_for_inference(q, k, None)             # opt-in only
+    monkeypatch.setenv("DAVF_PALLAS_INFER", "1")
+    assert A._pallas_for_inference(q, k, None)
+    assert not A._pallas_for_inference(small_q, k, None)       # small N
+    assert not A._pallas_for_inference(q, k, np.zeros(1))      # bias
+    monkeypatch.setenv("DAVF_NO_PALLAS", "1")
+    assert not A._pallas_for_inference(q, k, None)             # kill switch
+    monkeypatch.delenv("DAVF_NO_PALLAS")
+    monkeypatch.setattr(A, "_on_tpu", lambda: False)
+    assert not A._pallas_for_inference(q, k, None)             # CPU
