@@ -1,0 +1,78 @@
+"""Serving-bundle export/reload roundtrips (deepavfusion_tpu/serve.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deepavfusion_tpu import serve
+from deepavfusion_tpu.models.classifier import AVClassifier
+from deepavfusion_tpu.models.deepavfusion import DeepAVFusion, DeepAVFusionConfig
+from deepavfusion_tpu.models.vit import vit_config
+
+
+def tiny_cfg():
+    return DeepAVFusionConfig(
+        image=vit_config("vit_small", (32, 32), 3, depth=2, embed_dim=48, num_heads=4),
+        audio=vit_config("vit_small", (16, 48), 1, depth=2, embed_dim=48, num_heads=4),
+        fusion_arch="factorized_mmi",
+        num_fusion_tkns=(4, 2, 2),
+        fusion_num_heads=4,
+        fusion_mlp_ratio=1.0,
+    )
+
+
+def test_classifier_bundle_roundtrip(tmp_path):
+    model = AVClassifier(tiny_cfg(), num_classes=5)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    aud = jnp.asarray(rng.randn(2, 16, 48, 1), jnp.float32)
+    params = model.init(jax.random.key(0), img, aud)["params"]
+
+    out_dir = str(tmp_path / "bundle")
+    serve.export_classifier(model, params, out_dir, batch=2,
+                            image_size=32, audio_mels=16, audio_frames=48,
+                            platforms=("cpu",))
+    want = model.apply({"params": params}, img, aud,
+                       train=False, deterministic=True)
+
+    infer = serve.load_bundle(out_dir)
+    got = infer(img, aud)
+    assert infer.meta["outputs"] == ["logits_image", "logits_audio", "logits_fusion"]
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(w), np.asarray(g), atol=1e-5)
+
+
+def test_encoder_bundle_roundtrip(tmp_path):
+    cfg = tiny_cfg()
+    model = DeepAVFusion(cfg)
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    aud = jnp.asarray(rng.randn(2, 16, 48, 1), jnp.float32)
+    params = model.init(jax.random.key(0), img, aud)["params"]
+
+    out_dir = str(tmp_path / "enc")
+    serve.export_encoder(model, params, out_dir, batch=2,
+                         image_size=32, audio_mels=16, audio_frames=48,
+                         platforms=("cpu",))
+    infer = serve.load_bundle(out_dir)
+    fi, fa, ff = infer(img, aud)
+    xi, xa, xf = model.apply({"params": params}, img, aud, deterministic=True)
+    np.testing.assert_allclose(np.asarray(fi), np.asarray(xi.mean(1)), atol=1e-5)
+    assert fi.shape == (2, 48) and ff.shape == (2, 48)
+
+
+def test_bundle_is_code_free(tmp_path):
+    """The serialized fn reloads without constructing the flax model."""
+    model = AVClassifier(tiny_cfg(), num_classes=3)
+    rng = np.random.RandomState(2)
+    img = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+    aud = jnp.asarray(rng.randn(1, 16, 48, 1), jnp.float32)
+    params = model.init(jax.random.key(0), img, aud)["params"]
+    out_dir = str(tmp_path / "b")
+    serve.export_classifier(model, params, out_dir, batch=1,
+                            image_size=32, audio_mels=16, audio_frames=48,
+                            platforms=("cpu",))
+    del model, params
+    infer = serve.load_bundle(out_dir)
+    out = infer(img, aud)
+    assert len(out) == 3 and out[0].shape == (1, 3)
+    assert np.isfinite(np.asarray(out[0])).all()
