@@ -50,15 +50,29 @@ def _save_params(params, path: str):
     path = os.path.abspath(path)
     if os.path.exists(path):  # re-export overwrites the bundle
         shutil.rmtree(path)
-    ckptr = ocp.PyTreeCheckpointer()
+    ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, params)
+    ckptr.wait_until_finished()
 
 
-def _load_params(path: str):
+def _load_params(path: str, device=None):
+    """Code-free restore: the target template comes from the checkpoint's own
+    metadata (shapes/dtypes), placed on one device — some backends require a
+    concrete sharding for deserialization."""
     import orbax.checkpoint as ocp
 
-    ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(os.path.abspath(path))
+    ckptr = ocp.StandardCheckpointer()
+    path = os.path.abspath(path)
+    meta = ckptr.metadata(path)
+    tree = getattr(meta, "item_metadata", meta)  # StepMetadata → TreeMetadata
+    tree = getattr(tree, "tree", tree)
+    dev = device if device is not None else jax.devices()[0]
+    sharding = jax.sharding.SingleDeviceSharding(dev)
+    target = jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+        tree,
+    )
+    return ckptr.restore(path, target=target)
 
 
 def export_fn(
@@ -111,10 +125,7 @@ class Bundle:
             self._exported = jexport.deserialize(f.read())
         with open(os.path.join(out_dir, _META)) as f:
             self.meta = json.load(f)
-        params = _load_params(os.path.join(out_dir, _PARAMS))
-        if device is not None:
-            params = jax.device_put(params, device)
-        self._params = params
+        self._params = _load_params(os.path.join(out_dir, _PARAMS), device)
         self._call = jax.jit(self._exported.call)
 
     def __call__(self, *inputs):
