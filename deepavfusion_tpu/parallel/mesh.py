@@ -99,6 +99,11 @@ def tp_shard_params(params, mesh: Mesh, model_axis: str = "model"):
     inferred-sharding train step: jit propagates these placements through
     grads, the optimizer update, and the new state, so optimizer state is
     sharded identically (per-chip param+optimizer memory drops ~model_size x).
+
+    FSDP / ZeRO-3 falls out of the same machinery: pass
+    ``model_axis='data'`` on a 1-D data mesh — params (and the optimizer
+    state jit propagates from them) shard over the data axis and XLA
+    all-gathers each weight at its use site.
     """
     model_size = mesh.shape[model_axis]
 

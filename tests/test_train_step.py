@@ -281,6 +281,46 @@ def test_tensor_parallel_matches_replicated():
     assert not s1.params["w1"].sharding.is_fully_replicated
 
 
+def test_fsdp_matches_replicated():
+    """tp_shard_params(model_axis='data') == FSDP/ZeRO-3: params + optimizer
+    state shard over the data axis, results match the replicated step."""
+    import optax
+
+    from deepavfusion_tpu.parallel import mesh as mesh_lib
+
+    def mlp_loss(params, batch, key):
+        h = jnp.maximum(batch["x"] @ params["w1"] + params["b1"], 0.0)
+        pred = h @ params["w2"] + params["b2"]
+        loss = jnp.mean((pred - batch["y"]) ** 2)
+        return loss, {"loss": loss}
+
+    rng = np.random.RandomState(0)
+    params = {
+        "w1": jnp.asarray(rng.randn(16, 32) * 0.1, jnp.float32),
+        "b1": jnp.zeros((32,)),
+        "w2": jnp.asarray(rng.randn(32, 8) * 0.1, jnp.float32),
+        "b2": jnp.zeros((8,)),
+    }
+    batch = {"x": jnp.asarray(rng.randn(16, 16), jnp.float32),
+             "y": jnp.asarray(rng.randn(16, 8), jnp.float32)}
+    tx = optax.adamw(1e-2)
+
+    s0 = trainer.TrainState.create(params, tx)
+    step0 = trainer.make_train_step(mlp_loss, tx, mesh=None, donate=False)
+    s0, m0 = step0(s0, batch, jax.random.key(0))
+
+    mesh = mesh_lib.make_mesh({"data": 8})
+    params_fsdp = mesh_lib.tp_shard_params(params, mesh, model_axis="data")
+    assert not params_fsdp["w1"].sharding.is_fully_replicated
+    s1 = trainer.TrainState.create(params_fsdp, tx)
+    step1 = trainer.make_train_step(mlp_loss, tx, mesh=None, donate=False)
+    s1, m1 = step1(s1, mesh_lib.shard_batch(batch, mesh), jax.random.key(0))
+
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s0.params["w1"]),
+                               np.asarray(s1.params["w1"]), atol=1e-6)
+
+
 def test_dryrun_multichip():
     import sys
 
