@@ -36,6 +36,7 @@ class VideoEarlyFusionConfig:
     drop_path: float = 0.0
     attn_drop: float = 0.0
     drop: float = 0.0
+    remat: bool = False     # rematerialize video/audio/fusion blocks
 
     @property
     def embed_dim(self) -> int:
@@ -76,16 +77,22 @@ class VideoEarlyFusion(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        import dataclasses as _dc
+
         c = self.cfg
-        self.video = VideoViT(c.video, dtype=self.dtype, name="video")
-        self.audio = ViT(c.audio, dtype=self.dtype, name="audio")
+        video_cfg = _dc.replace(c.video, remat=c.video.remat or c.remat)
+        audio_cfg = _dc.replace(c.audio, remat=c.audio.remat or c.remat)
+        self.video = VideoViT(video_cfg, dtype=self.dtype, name="video")
+        self.audio = ViT(audio_cfg, dtype=self.dtype, name="audio")
         self.fusion_tokens = self.param(
             "fusion_tokens", nn.initializers.normal(0.02),
             (1, sum(c.num_fusion_tkns), c.embed_dim),
         )
         layers = parse_fusion_layers(c.fusion_layers, c.max_depth)
+        FB = (nn.remat(FusionBlock, static_argnums=(4,))
+              if c.remat else FusionBlock)
         self.fusion_blocks = [
-            FusionBlock(
+            FB(
                 arch="factorized_mmi", num_heads=c.fusion_num_heads,
                 attn_ratio=c.fusion_attn_ratio, mlp_ratio=c.fusion_mlp_ratio,
                 fusion_tkns=c.num_fusion_tkns, qkv_bias=True,
@@ -116,19 +123,19 @@ class VideoEarlyFusion(nn.Module):
             blk_audio = self.audio.blocks[i]
             blk_fusion = self.fusion_blocks[i]
             if blk_fusion is None:
-                x_video = blk_video(x_video, T=T, deterministic=deterministic)
-                x_audio = blk_audio(x_audio, deterministic=deterministic)
+                x_video = blk_video(x_video, T, deterministic)
+                x_audio = blk_audio(x_audio, deterministic)
             else:
                 _x_video = blk_video(
                     jnp.concatenate([x_fusion, x_video], axis=1),
-                    T=T, deterministic=deterministic,
+                    T, deterministic,
                 )[:, nF:]
                 _x_audio = blk_audio(
                     jnp.concatenate([x_fusion, x_audio], axis=1),
-                    deterministic=deterministic,
+                    deterministic,
                 )[:, nF:]
                 x_fusion = blk_fusion(x_fusion, x_video, x_audio,
-                                      deterministic=deterministic)
+                                      deterministic)
                 x_video, x_audio = _x_video, _x_audio
             if return_embs:
                 embs.append((x_video, x_audio, x_fusion))

@@ -39,6 +39,7 @@ class VideoViTConfig:
     attn_drop: float = 0.0
     drop: float = 0.0
     norm_eps: float = 1e-6
+    remat: bool = False     # rematerialize blocks (video activations are large)
 
     @property
     def grid_size(self) -> tuple[int, int, int]:
@@ -144,10 +145,12 @@ class VideoViT(nn.Module):
         c = self.cfg
         self.patch_embed = PatchEmbed3D(c.patch_size, c.embed_dim,
                                         dtype=self.dtype, name="patch_embed")
+        BlockCls = (nn.remat(VideoBlock, static_argnums=(2, 3))
+                    if c.remat else VideoBlock)
         self.blocks = [
-            VideoBlock(c.num_heads, c.mlp_ratio, c.attention_type,
-                       c.drop, c.attn_drop, c.norm_eps, dtype=self.dtype,
-                       name=f"blocks_{i}")
+            BlockCls(c.num_heads, c.mlp_ratio, c.attention_type,
+                     c.drop, c.attn_drop, c.norm_eps, dtype=self.dtype,
+                     name=f"blocks_{i}")
             for i in range(c.depth)
         ]
         self.norm = layer_norm(c.norm_eps, self.dtype, "norm")
@@ -169,5 +172,5 @@ class VideoViT(nn.Module):
         x = self.prepare_patch_tokens(x)
         T = self.cfg.grid_size[0]
         for blk in self.blocks:
-            x = blk(x, T=T, deterministic=deterministic)
+            x = blk(x, T, deterministic)   # positional: remat static_argnums
         return self.norm(x)

@@ -87,6 +87,7 @@ def main_worker(args) -> dict:
                          args.model.fusion.num_aggr_audio_tkns),
         fusion_mlp_ratio=args.model.fusion.mlp_ratio,
         fusion_attn_ratio=args.model.fusion.attn_ratio,
+        remat=bool(args.model.get("remat", False)),
         fusion_num_heads=args.model.fusion.num_heads,
     )
     model = AVSyncClassifier(cfg, dtype=dtype)
