@@ -76,3 +76,32 @@ def test_bundle_is_code_free(tmp_path):
     out = infer(img, aud)
     assert len(out) == 3 and out[0].shape == (1, 3)
     assert np.isfinite(np.asarray(out[0])).all()
+
+
+def test_export_bundle_cli(tmp_path):
+    """export_bundle.py builds an encoder bundle from the linprobe config
+    surface (random init when no checkpoint is given)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import export_bundle
+    from deepavfusion_tpu.config import load_config
+
+    args = load_config("linprobe", overrides=[
+        "task=encoder",
+        f"bundle_dir={tmp_path}/enc",
+        "bundle_batch=2",
+        "model.image.backbone=vit_small", "model.audio.backbone=vit_small",
+        "model.image.depth=2", "model.audio.depth=2",
+        "model.fusion.num_heads=6",
+        "data.image_size=32", "data.audio_mels=16", "data.audio_dur=0.75",
+        f"output_dir={tmp_path}",
+    ])
+    out = export_bundle.main_worker(args)
+    infer = serve.load_bundle(out)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    aud = jnp.asarray(rng.randn(2, 16, 48, 1), jnp.float32)
+    fi, fa, ff = infer(img, aud)
+    assert fi.shape[0] == 2 and np.isfinite(np.asarray(ff)).all()
+    assert infer.meta["task"] == "encoder"
