@@ -122,9 +122,12 @@ def main():
     # that mode); DAVF_BENCH_REMAT=1 adds remat (helps ONLY the scan trunk).
     remat = os.environ.get("DAVF_BENCH_REMAT", "0") == "1"
     scan = os.environ.get("DAVF_BENCH_SCAN", "0") == "1"
+    # DAVF_BENCH_DEC_HEADS: decoder head-count experiment (16 = reference;
+    # 8 → head dim 64, friendlier to the MXU's 128-wide tiles)
+    dec_heads = int(os.environ.get("DAVF_BENCH_DEC_HEADS", "16"))
     cfg = pretrain.PretrainConfig(fusion_mlp_ratio=1.0, dtype=jnp.bfloat16,
                                   steps_per_epoch=1000.0, scan_layers=scan,
-                                  remat=remat)
+                                  remat=remat, decoder_num_heads=dec_heads)
     model = pretrain.build_model(cfg)
     params = pretrain.init_params(model, cfg, seed=0)
     _, state, step_fn, _ = pretrain.make_pretrain_step(

@@ -59,6 +59,7 @@ class PretrainConfig:
     image_pretrained: bool = True
     audio_pretrained: bool = True
     steps_per_epoch: float = 1000.0
+    decoder_num_heads: int = 16      # reference avmae.py decoder heads
     dtype: Any = jnp.bfloat16
 
 
@@ -88,6 +89,7 @@ def build_model(cfg: PretrainConfig) -> avmae_mod.AVMAE:
             cfg.audio_decoder_arch, cfg.audio_decoder_depth,
             cfg.audio_mask_ratio, cfg.audio_norm_loss,
         ),
+        decoder_num_heads=cfg.decoder_num_heads,
     )
     return avmae_mod.AVMAE(mae, dtype=cfg.dtype)
 
