@@ -6,9 +6,13 @@ Measures the BASELINE.json north-star metric — one complete optimizer step
 pretraining config (fusion attn_ratio 0.25, mlp_ratio 1.0), bf16 compute.
 
 The reference publishes no throughput numbers (SURVEY.md §6), so vs_baseline
-is reported against a fixed reference point of 100 clips/s/chip — a
+is reported against an ASSUMED reference point of 100 clips/s/chip — a
 generous estimate of the per-GPU throughput of the PyTorch stack's published
-launch configs (8 GPU × bs64; no measured number exists).
+launch configs (8 GPU × bs64; no measured number exists). The JSON output
+labels this explicitly (`baseline.source = "assumed"`): the ratio is NOT a
+measured torch-vs-TPU comparison. For a measured (same-host, CPU-only)
+torch-reference proxy, run ``bench_torch_ref.py`` — it times the reference's
+actual model code (via tests/timm_shim) next to this stack's CPU backend.
 
 Timing methodology (important): through the remote-TPU (axon) tunnel,
 ``block_until_ready`` on dispatched calls does NOT reliably reflect remote
@@ -201,6 +205,13 @@ def main():
         "value": round(clips_per_sec_per_chip, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(clips_per_sec_per_chip / REFERENCE_CLIPS_PER_SEC_PER_CHIP, 3),
+        "baseline": {
+            "value": REFERENCE_CLIPS_PER_SEC_PER_CHIP,
+            "unit": "clips/s/chip",
+            "source": "assumed",  # reference publishes no throughput (SURVEY §6)
+            "note": "vs_baseline is vs this assumption, not a measurement; "
+                    "see bench_torch_ref.py for a measured same-host proxy",
+        },
         "mfu": round(mfu, 4) if mfu is not None else None,
         "step_ms": round(dt * 1e3, 2),
         "step_ms_reps": [round(r * 1e3, 2) for r in reps],

@@ -17,6 +17,15 @@ VGGSound-like dimensions (10 s, 25 fps, 640x360, 16 kHz mono) is generated
 by the C++ encoder (native/avencode.cpp) and cached under
 ~/.cache/deepavfusion_tpu/bench_corpus.
 
+Knobs (VERDICT round-2 item 9):
+  * DAVF_BENCH_ENTROPY=1 — generate a high-entropy corpus (per-pixel noise,
+    24 noise blocks, camera shake; see native/avencode.cpp) that decodes at
+    closer-to-real-video cost; cached separately per entropy level.
+  * DAVF_BENCH_WORKER_SWEEP=1 (or automatic when nproc > 1) — measure
+    sustained clips/s at worker counts 1,2,4,8,15 (capped near nproc) and
+    report the scaling curve, demonstrating the host-side margin the moment
+    multi-core hardware is available.
+
 Usage: python bench_decode.py [clips_dir_glob] [n_latency_samples]
 Prints one JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -33,7 +42,10 @@ from pathlib import Path
 import numpy as np
 
 NATIVE = Path(__file__).parent / "deepavfusion_tpu" / "native"
-CORPUS_DIR = Path(os.path.expanduser("~/.cache/deepavfusion_tpu/bench_corpus"))
+ENTROPY = int(os.environ.get("DAVF_BENCH_ENTROPY", "0"))
+CORPUS_DIR = Path(os.path.expanduser(
+    "~/.cache/deepavfusion_tpu/bench_corpus"
+    + (f"_e{ENTROPY}" if ENTROPY else "")))
 CORPUS_N = int(os.environ.get("DAVF_BENCH_CORPUS_N", "200"))
 WORKERS = int(os.environ.get("DAVF_BENCH_WORKERS", "15"))  # ref launcher.py:114
 BATCH = 64
@@ -54,7 +66,8 @@ def make_corpus(n=CORPUS_N) -> list[str]:
         fn = CORPUS_DIR / f"clip{i:04d}.mp4"
         if not fn.exists():
             subprocess.run(
-                [str(enc), str(fn), "10", "25", "640", "360", str(i)],
+                [str(enc), str(fn), "10", "25", "640", "360", str(i),
+                 "16000", str(ENTROPY)],
                 check=True, capture_output=True)
         return str(fn)
 
@@ -86,7 +99,7 @@ def latency_bench(fns, n):
             float(np.percentile(lat, 95) * 1000))
 
 
-def sustained_bench(fns, batches=16):
+def sustained_bench(fns, batches=16, workers=WORKERS):
     # batches >> loader prefetch depth (2), so the producer's head start
     # during warmup inflates the figure by <13%.
     """Real VideoDataset + train transforms through the threaded DataLoader."""
@@ -101,7 +114,7 @@ def sustained_bench(fns, batches=16):
         temporal_jitter=True,
     )
     dl = loader.DataLoader(db, batch_size=BATCH, shuffle=True, drop_last=True,
-                           workers=WORKERS, prefetch=2, replacement=True)
+                           workers=workers, prefetch=2, replacement=True)
     it = iter(dl)
     b = next(it)  # warmup: thread pool spin-up + page cache
     assert b["image"].shape == (BATCH, 224, 224, 3)
@@ -135,6 +148,15 @@ def main():
     p50, p95 = latency_bench(fns, n)
     clips_per_s = sustained_bench(fns)
 
+    # worker-count scaling sweep: explicit opt-in, or automatic on multi-core
+    # hosts (this container has nproc=1, where a sweep is meaningless).
+    ncpu = os.cpu_count() or 1
+    sweep = None
+    if os.environ.get("DAVF_BENCH_WORKER_SWEEP") == "1" or ncpu > 1:
+        counts = [c for c in (1, 2, 4, 8, 15) if c <= max(2 * ncpu, 2)]
+        sweep = {str(c): round(sustained_bench(fns, batches=8, workers=c), 1)
+                 for c in counts}
+
     # PyAV reference micro-benchmark order of magnitude: ~30-60 ms/clip for
     # open+frame+audio on VGGSound mp4s (avreader.py:146-168, no published
     # number) — use 40 ms as the comparison point.
@@ -146,8 +168,11 @@ def main():
         "p95_ms": round(p95, 2),
         "sustained_clips_per_s": round(clips_per_s, 1),
         "loader_workers": WORKERS,
+        "worker_sweep_clips_per_s": sweep,
+        "nproc": ncpu,
         "batch": BATCH,
-        "corpus": f"{len(fns)} x 10s 640x360 H.264 (+16kHz AAC)",
+        "corpus": f"{len(fns)} x 10s 640x360 H.264 (+16kHz AAC)"
+                  + (f" entropy={ENTROPY}" if ENTROPY else ""),
     }))
 
 

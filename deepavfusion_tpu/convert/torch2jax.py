@@ -173,8 +173,29 @@ def deepavfusion(
     return tree
 
 
-def mae_decoder(sd: Mapping, modality: str, depth: int = 8) -> dict:
-    """reference models/avmae.py per-modality decoder attrs → MAEDecoder subtree."""
+def swin_block(sd: Mapping, p: str) -> dict:
+    """reference models/swin.py SwinTransformerBlock → models/swin.SwinBlock
+    subtree. The relative_position_index / attn_mask buffers are not
+    converted — both are recomputed as compile-time constants on our side."""
+    return {
+        "norm1": layernorm(sd, f"{p}.norm1"),
+        "attn_qkv": linear(sd, f"{p}.attn.qkv"),
+        "attn_proj": linear(sd, f"{p}.attn.proj"),
+        "relative_position_bias_table": _np(
+            sd[f"{p}.attn.relative_position_bias_table"]
+        ),
+        "norm2": layernorm(sd, f"{p}.norm2"),
+        "mlp": {
+            "fc1": linear(sd, f"{p}.mlp.fc1"),
+            "fc2": linear(sd, f"{p}.mlp.fc2"),
+        },
+    }
+
+
+def mae_decoder(sd: Mapping, modality: str, depth: int = 8, arch: str = "plain") -> dict:
+    """reference models/avmae.py per-modality decoder attrs → MAEDecoder
+    subtree; ``arch`` mirrors {modality}_decoder_arch ('plain' | 'swin',
+    reference avmae.py:37-56)."""
     p = f"{modality}_decoder"
     tree: dict[str, Any] = {
         "embed": linear(sd, f"{p}_embed"),
@@ -183,8 +204,9 @@ def mae_decoder(sd: Mapping, modality: str, depth: int = 8) -> dict:
         "norm": layernorm(sd, f"{p}_norm"),
         "pred": linear(sd, f"{p}_pred"),
     }
+    convert_block = swin_block if arch == "swin" else block
     for i in range(depth):
-        tree[f"blocks_{i}"] = block(sd, f"{p}_blocks.{i}")
+        tree[f"blocks_{i}"] = convert_block(sd, f"{p}_blocks.{i}")
     return tree
 
 
@@ -194,12 +216,14 @@ def avmae(
     audio_depth: int = 12,
     decoder_depth: int = 8,
     fusion_arch: str = "factorized_mmi",
+    image_decoder_arch: str = "plain",
+    audio_decoder_arch: str = "plain",
 ) -> dict:
     """Full pretraining checkpoint → AVMAE param tree."""
     return {
         "encoder": deepavfusion(sd, "encoder.", image_depth, audio_depth, fusion_arch),
-        "image_decoder": mae_decoder(sd, "image", decoder_depth),
-        "audio_decoder": mae_decoder(sd, "audio", decoder_depth),
+        "image_decoder": mae_decoder(sd, "image", decoder_depth, image_decoder_arch),
+        "audio_decoder": mae_decoder(sd, "audio", decoder_depth, audio_decoder_arch),
     }
 
 
@@ -296,6 +320,61 @@ def video_vit(sd: Mapping, p: str = "", depth: int = 12, tube: int = 2) -> dict:
             }
             blk["temporal_fc"] = linear(sd, f"{bp}.temporal_fc")
         tree[f"blocks_{i}"] = blk
+    return tree
+
+
+def av_classifier(
+    sd: Mapping,
+    image_depth: int = 12,
+    audio_depth: int = 12,
+    fusion_arch: str = "factorized_mmi",
+    input_norm: bool = False,
+) -> tuple[dict, dict | None]:
+    """reference models/classifier.py AVClassifier → (params, batch_stats).
+
+    The affine-free input BatchNorms (classifier.py:16-18) carry only running
+    stats, which live in flax's batch_stats collection; returns None for it
+    when input_norm is off."""
+    params: dict[str, Any] = {
+        "encoder": deepavfusion(sd, "encoder.", image_depth, audio_depth, fusion_arch),
+        "image_head": linear(sd, "image_head"),
+        "audio_head": linear(sd, "audio_head"),
+        "fusion_head": linear(sd, "fusion_head"),
+    }
+    batch_stats = None
+    if input_norm:
+        batch_stats = {
+            f"{m}_norm": {
+                "mean": _np(sd[f"{m}_norm.running_mean"]),
+                "var": _np(sd[f"{m}_norm.running_var"]),
+            }
+            for m in ("image", "audio", "fusion")
+        }
+    return params, batch_stats
+
+
+def video_earlyfusion(
+    sd: Mapping,
+    prefix: str = "",
+    video_depth: int = 12,
+    audio_depth: int = 12,
+    tube: int = 2,
+) -> dict:
+    """reference models/video_earlyfusion.py VideoEarlyFusion →
+    VideoEarlyFusion subtree (video VideoViT + audio ViT + factorized fusion
+    blocks; reference :29-56)."""
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    tree: dict[str, Any] = {
+        "video": video_vit(sd, "video", video_depth, tube),
+        "audio": vit(sd, "audio", audio_depth),
+        "fusion_tokens": _np(sd["fusion_tokens"]),
+        "fusion_norm": layernorm(sd, "fusion_norm"),
+    }
+    for i in range(max(video_depth, audio_depth)):
+        if f"fusion_blocks.{i}.norm1_mm.weight" in sd:
+            tree[f"fusion_blocks_{i}"] = fusion_block(
+                sd, f"fusion_blocks.{i}", "factorized_mmi")
     return tree
 
 

@@ -21,6 +21,16 @@ _LIB_PATH = _NATIVE_DIR / "libavdecode.so"
 _lib = None
 
 
+def _nsamples(t_min: float, t_max: float, rate: int) -> int:
+    """Exact sample count for a [t_min, t_max) span: round-half-up, NOT
+    truncation — (t0+3.0)-t0 in float64 can land a hair under 3.0 and
+    int(2.9999999999999996*16000) would drop a sample (~1% of random t0).
+    Mirrors avdecode.cpp's nsamples formula exactly."""
+    import math
+
+    return int(math.floor((t_max - t_min) * rate + 0.5))
+
+
 def _load_lib():
     global _lib
     if _lib is not None:
@@ -186,7 +196,7 @@ class AVReader(VideoReader):
         t_min = self.audio_start_time if t_min is None else t_min
         t_max = (self.audio_start_time + self.audio_duration
                  if t_max is None else t_max)
-        n = int((t_max - t_min) * self.rate)
+        n = _nsamples(t_min, t_max, self.rate)
         out = np.empty(n, np.float32)
         got = self._lib.avdec_audio_read(
             self._h, float(t_min), float(t_max), int(self.rate),
@@ -223,7 +233,7 @@ class AudioReader:
         """→ float32 (1, nsamples) in [-1, 1], exactly (t_max-t_min)*rate."""
         t_min = self.start_time if t_min is None else t_min
         t_max = self.start_time + self.duration if t_max is None else t_max
-        n = int((t_max - t_min) * self.rate)
+        n = _nsamples(t_min, t_max, self.rate)
         out = np.empty(n, np.float32)
         got = self._lib.avdec_audio_read(
             self._h, float(t_min), float(t_max), int(self.rate),

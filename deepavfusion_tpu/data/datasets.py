@@ -759,8 +759,16 @@ class AVSyncVideoDataset(BaseVideoDataset):
                                for f in raw[: self.num_frames]])
         else:
             raw, _ = vreader.get_clip(t, t + clip_dur, fps=self.video_rate)
-            frames = np.stack([vt(Image.fromarray(f))
-                               for f in raw[: self.num_frames]])
+            # temporally consistent augmentation in the fallback too: replay
+            # the same RNG state for every frame so a single crop/flip is
+            # drawn per clip, matching the fused path's one crop_spec.
+            py_state, np_state = random.getstate(), np.random.get_state()
+            out = []
+            for f in raw[: self.num_frames]:
+                random.setstate(py_state)
+                np.random.set_state(np_state)
+                out.append(vt(Image.fromarray(f)))
+            frames = np.stack(out)
 
         is_sync = random.random() < self.sync_prob
         a_mid = t + clip_dur / 2

@@ -49,7 +49,9 @@ class DataLoader:
         self.seed = seed
         self.epoch = 0
         # reference: RandomSampler(replacement=True) when non-distributed
-        # (util/data.py:10-12); we default to sampling w/o replacement.
+        # (util/data.py:10-12). The get_dataloader factory supplies that
+        # reference default; this class-level False only applies to direct
+        # DataLoader construction (tests, deterministic eval loaders).
         self.replacement = replacement if replacement is not None else False
 
     def set_epoch(self, epoch: int):

@@ -48,7 +48,7 @@ class AVMAEConfig:
     decoder_num_heads: int = 16
     decoder_mlp_ratio: float = 4.0
     norm_eps: float = 1e-5  # decoders use plain nn.LayerNorm (avmae.py:14)
-    remat: bool = False     # rematerialize decoder blocks (plain arch)
+    remat: bool = False     # rematerialize decoder blocks (plain + swin archs)
 
 
 class MAEDecoder(nn.Module):
@@ -78,8 +78,10 @@ class MAEDecoder(nn.Module):
         if self.cfg.arch == "swin":
             from .swin import SwinBlock
 
+            SwinCls = (nn.remat(SwinBlock, static_argnums=(3,))
+                       if self.remat else SwinBlock)
             self.blocks = [
-                SwinBlock(
+                SwinCls(
                     input_resolution=self.grid_size,
                     num_heads=self.num_heads,
                     window_size=4,
@@ -126,7 +128,7 @@ class MAEDecoder(nn.Module):
             x = x[:, nF:]
         elif self.cfg.arch == "swin":
             for blk in self.blocks:
-                x, x_fusion = blk(x, x_fusion, deterministic=deterministic)
+                x, x_fusion = blk(x, x_fusion, deterministic)  # positional: remat static_argnums
         else:
             raise ValueError(f"unknown decoder arch {self.cfg.arch}")
         return self.pred(self.norm(x))
@@ -138,13 +140,15 @@ def mae_loss(
     """MSE over masked patches only (reference avmae.py:182-198).
 
     norm_pix: target standardized per patch with var (not std) eps semantics
-    ``(t - mean) / sqrt(var + 1e-6)``.
+    ``(t - mean) / sqrt(var + 1e-6)``. torch's Tensor.var is UNBIASED
+    (correction=1), unlike numpy/jnp's default — ddof=1 here is load-bearing
+    for checkpoint-level loss parity (caught by test_reference_parity.py).
     """
     target = target.astype(jnp.float32)
     pred = pred.astype(jnp.float32)
     if norm_pix_loss:
         mean = target.mean(axis=-1, keepdims=True)
-        var = target.var(axis=-1, keepdims=True)
+        var = target.var(axis=-1, keepdims=True, ddof=1)
         target = (target - mean) / jnp.sqrt(var + 1e-6)
     loss = ((pred - target) ** 2).mean(axis=-1)
     return (loss * mask).sum() / mask.sum()

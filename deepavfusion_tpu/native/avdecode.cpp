@@ -21,6 +21,7 @@ extern "C" {
 }
 
 #include <algorithm>
+#include <cmath>
 #include <cstring>
 #include <vector>
 
@@ -294,7 +295,10 @@ long avdec_audio_read(void* handle, double t_min, double t_max, int rate,
     return -2;
   }
 
-  const long nsamples = (long)((t_max - t_min) * rate);
+  // round-half-up, NOT truncation: (t0+3.0)-t0 in double can land a hair
+  // under 3.0, and (long)(2.9999999999999996*16000) would drop a sample.
+  // Must match the Python binding's sample-count formula exactly.
+  const long nsamples = (long)std::floor((t_max - t_min) * rate + 0.5);
   std::vector<float> buf;
   buf.reserve(nsamples + rate);
 

@@ -10,7 +10,13 @@
 // counterpart: the reference assumes a downloaded corpus.
 //
 // Build: make -C deepavfusion_tpu/native avencode
-// Usage: avencode out.mp4 [seconds] [fps] [width] [height] [seed] [rate]
+// Usage: avencode out.mp4 [seconds] [fps] [width] [height] [seed] [rate] [entropy]
+//
+// entropy=0 (default): moving gradients + 8 noise blocks — light/medium
+// decode cost. entropy=1: adds per-pixel luma noise, 24 noise blocks and
+// per-frame global motion (camera shake), which defeats motion compensation
+// and raises residual bitrate toward real-video decode cost (NOTES.md open
+// item 1: synthetic content decodes 20-40% faster than real video).
 
 extern "C" {
 #include <libavcodec/avcodec.h>
@@ -44,23 +50,35 @@ int die(const char* msg) {
   return 1;
 }
 
-// Fill a yuv420p frame: drifting gradient + a few moving noise blocks.
-void fill_video(AVFrame* f, int w, int h, int t, Rng& rng) {
+// Fill a yuv420p frame: drifting gradient + moving noise blocks; at
+// entropy>=1 also per-pixel noise + per-frame global motion (camera shake).
+void fill_video(AVFrame* f, int w, int h, int t, Rng& rng, int entropy) {
+  // global shake offset, redrawn every frame so motion vectors can't lock on
+  int ox = 0, oy = 0;
+  if (entropy >= 1) {
+    ox = (int)(rng.uniform() * 17) - 8;
+    oy = (int)(rng.uniform() * 17) - 8;
+  }
   for (int y = 0; y < h; ++y) {
     uint8_t* row = f->data[0] + y * f->linesize[0];
-    for (int x = 0; x < w; ++x)
-      row[x] = (uint8_t)((x + 3 * t) * 255 / w + (y * 64 / h)) ;
+    for (int x = 0; x < w; ++x) {
+      uint8_t px = (uint8_t)((x + ox + 3 * t) * 255 / w + ((y + oy) * 64 / h));
+      if (entropy >= 1)
+        px = (uint8_t)(px + (int)(rng.next() & 31) - 16);  // ±16 luma noise
+      row[x] = px;
+    }
   }
   for (int y = 0; y < h / 2; ++y) {
     uint8_t* u = f->data[1] + y * f->linesize[1];
     uint8_t* v = f->data[2] + y * f->linesize[2];
     for (int x = 0; x < w / 2; ++x) {
-      u[x] = (uint8_t)(128 + 64 * std::sin(0.02 * (x + 2 * t)));
-      v[x] = (uint8_t)(128 + 64 * std::cos(0.03 * (y + t)));
+      u[x] = (uint8_t)(128 + 64 * std::sin(0.02 * (x + ox + 2 * t)));
+      v[x] = (uint8_t)(128 + 64 * std::cos(0.03 * (y + oy + t)));
     }
   }
-  // 8 moving 32x32 noise blocks: defeats intra prediction locally
-  for (int b = 0; b < 8; ++b) {
+  // moving 32x32 noise blocks: defeats intra prediction locally
+  const int nblocks = entropy >= 1 ? 24 : 8;
+  for (int b = 0; b < nblocks; ++b) {
     int bx = (int)(rng.uniform() * (w - 32));
     int by = (int)(rng.uniform() * (h - 32));
     for (int y = by; y < by + 32; ++y) {
@@ -86,7 +104,7 @@ int send_and_mux(AVFormatContext* oc, AVCodecContext* ctx, AVStream* st,
 }  // namespace
 
 int main(int argc, char** argv) {
-  if (argc < 2) return die("usage: avencode out.mp4 [sec] [fps] [w] [h] [seed] [rate]");
+  if (argc < 2) return die("usage: avencode out.mp4 [sec] [fps] [w] [h] [seed] [rate] [entropy]");
   const char* path = argv[1];
   double seconds = argc > 2 ? std::atof(argv[2]) : 10.0;
   int fps = argc > 3 ? std::atoi(argv[3]) : 25;
@@ -94,6 +112,7 @@ int main(int argc, char** argv) {
   int h = argc > 5 ? std::atoi(argv[5]) : 360;
   uint64_t seed = argc > 6 ? (uint64_t)std::atoll(argv[6]) : 0;
   int rate = argc > 7 ? std::atoi(argv[7]) : 16000;
+  int entropy = argc > 8 ? std::atoi(argv[8]) : 0;
 
   AVFormatContext* oc = nullptr;
   if (avformat_alloc_output_context2(&oc, nullptr, nullptr, path) < 0 || !oc)
@@ -165,7 +184,7 @@ int main(int argc, char** argv) {
 
   for (int t = 0; t < n_video; ++t) {
     if (av_frame_make_writable(vf) < 0) return die("frame writable");
-    fill_video(vf, w, h, t, rng);
+    fill_video(vf, w, h, t, rng, entropy);
     vf->pts = t;
     if (send_and_mux(oc, vctx, vst, vf, pkt) < 0) return die("encode video");
 

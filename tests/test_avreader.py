@@ -252,3 +252,35 @@ def test_avsync_dataset_fused_path(h264_clip):
     assert s["video"].shape == (4, 64, 64, 3)
     assert s["audio"].shape == (32, 192, 1)
     assert s["sync"] in (0, 1)
+
+
+def test_avsync_dataset_fallback_consistent_augmentation(h264_clip):
+    """The non-fused fallback (custom transform without crop_spec) must draw
+    ONE augmentation per clip, like the fused path, by replaying the RNG
+    state for every frame (ADVICE r2 #1)."""
+    import os
+    import random as pyrandom
+
+    import numpy as np
+
+    from deepavfusion_tpu.data import datasets, transforms
+
+    class RecordingTransform:
+        # no crop_spec → exercises the fallback branch
+        def __call__(self, img):
+            v = pyrandom.random()
+            return np.full((8, 8, 3), v, np.float32)
+
+    db = datasets.AVSyncVideoDataset(
+        base_path=os.path.dirname(h264_clip),
+        video_files=[os.path.basename(h264_clip)],
+        visual_transform=RecordingTransform(),
+        audio_transform=transforms.AudioEvalTransform(16000, 3.0, 32),
+        num_frames=4, video_rate=4,
+    )
+    s = db[0]
+    draws = s["video"][:, 0, 0, 0]
+    assert np.all(draws == draws[0]), "per-frame RNG draws differ within a clip"
+    # and across samples the draw still varies (RNG advanced past the clip)
+    s2 = db[0]
+    assert s2["video"][0, 0, 0, 0] != draws[0]

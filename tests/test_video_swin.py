@@ -1,4 +1,6 @@
 """Tests: video ViT (joint + divided attention), video early fusion, swin decoder."""
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -134,3 +136,20 @@ def test_avmae_swin_decoder():
     out = model.apply({"params": params}, img, aud, jax.random.key(4))
     assert np.isfinite(float(out["loss"]))
     assert out["pred_image"].shape == (2, 16, 16 * 16 * 3)
+
+    # remat is no longer a silent no-op for arch='swin' (ADVICE r2 #2):
+    # same params/inputs must give identical loss and gradients.
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    model_r = avmae_mod.AVMAE(cfg_r)
+
+    def loss_fn(m):
+        def f(p):
+            return m.apply({"params": p}, img, aud, jax.random.key(4))["loss"]
+        return f
+
+    loss0, g0 = jax.value_and_grad(loss_fn(model))(params)
+    loss1, g1 = jax.value_and_grad(loss_fn(model_r))(params)
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+        g0["image_decoder"], g1["image_decoder"])
