@@ -54,13 +54,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Host arrays → device arrays sharded along the batch dimension."""
+    """Host arrays → device arrays sharded along the batch dimension.
+
+    Single-process: ``device_put`` of the full batch. Multi-process: each
+    host holds only its loader shard (data/loader.py host sharding), so the
+    global array is assembled from per-process local data — the TPU-native
+    equivalent of the reference's per-rank DistributedSampler batches
+    feeding DDP (util/data.py:10-12)."""
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate(tree, mesh: Mesh):
+    """Replicate host values onto every device. Multi-process: every host
+    must hold identical values (same-seed init / same checkpoint) — they
+    become the single logical replicated array."""
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 

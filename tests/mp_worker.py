@@ -1,0 +1,131 @@
+"""Real multi-process worker for tests/test_multiprocess.py.
+
+VERDICT round-2 item 3: `jax.distributed.initialize`, the host-sharded
+loader, global-array assembly (`mesh.shard_batch`/`replicate`) and
+`mesh.host_gather` had only ever run with a MOCKED process count. This
+worker is launched as N real OS processes (CPU backend, 4 virtual devices
+each) and exercises the reference-equivalent distributed path for real
+(reference util/distributed.py:66-127).
+
+Usage: python tests/mp_worker.py OUT.json COORD NPROC PID
+With NPROC=1 it runs the single-process baseline of the same computation
+(same global batch layout — see `host_rows`), so the test can assert the
+2-process losses equal the 1-process losses.
+"""
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=4").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+class ToyDataset:
+    """Deterministic index→sample mapping (no media decode)."""
+
+    def __init__(self, n, image_size=32, mels=16, frames=48):
+        self.n, self.image_size, self.mels, self.frames = n, image_size, mels, frames
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.RandomState(1000 + i)
+        return {
+            "image": rng.randn(self.image_size, self.image_size, 3).astype(np.float32),
+            "audio": rng.randn(self.mels, self.frames, 1).astype(np.float32),
+            "index": np.int32(i),
+        }
+
+
+def host_rows(n, pc):
+    """The global row order that `pc` hosts' loader shards assemble to:
+    host p takes indices p::pc (data/loader.py), and
+    make_array_from_process_local_data lays hosts out contiguously."""
+    order = np.arange(n)
+    return np.concatenate([order[p::pc] for p in range(pc)])
+
+
+def main():
+    out_fn, coord, nproc, pid = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+
+    from deepavfusion_tpu.parallel import mesh as mesh_lib
+
+    if nproc > 1:
+        mesh_lib.init_distributed(coord, nproc, pid)
+    assert jax.process_count() == nproc, (jax.process_count(), nproc)
+    assert len(jax.local_devices()) == 4
+    assert len(jax.devices()) == 4 * nproc
+
+    from deepavfusion_tpu.data import loader as loader_lib
+    from deepavfusion_tpu.train import pretrain
+
+    world_batch, steps = 8, 2
+    db = ToyDataset(world_batch)
+    dl = loader_lib.DataLoader(db, batch_size=world_batch // nproc,
+                               shuffle=False, drop_last=True, workers=1,
+                               prefetch=1)
+    local = next(iter(dl))
+    # loader host sharding: process p sees exactly indices p::nproc
+    assert list(local["index"]) == list(range(pid, world_batch, nproc)), local["index"]
+
+    cfg = pretrain.PretrainConfig(
+        image_backbone="vit_small", audio_backbone="vit_small",
+        image_depth=2, audio_depth=2, image_size=32, audio_mels=16,
+        audio_frames=48, num_fusion_tkns=(4, 2, 2), fusion_mlp_ratio=1.0,
+        fusion_num_heads=6, image_decoder_depth=1, audio_decoder_depth=1,
+        dtype=jnp.float32, steps_per_epoch=10.0)
+    model = pretrain.build_model(cfg)
+    params = pretrain.init_params(model, cfg, seed=0)
+    mesh = mesh_lib.make_mesh({"data": 4 * nproc})
+    _, state, step_fn, _ = pretrain.make_pretrain_step(
+        model, params, cfg, world_batch, mesh=mesh)
+    state = mesh_lib.replicate(state, mesh)
+
+    # In the nproc=1 baseline, lay the global batch out in the same row
+    # order the multi-host assembly produces, so the two runs are the same
+    # mathematical program on the same data.
+    if nproc == 1:
+        rows = host_rows(world_batch, 2)
+        batch = {k: np.stack([db[i][k] for i in rows]) for k in ("image", "audio")}
+    else:
+        batch = {k: local[k] for k in ("image", "audio")}
+    gbatch = mesh_lib.shard_batch(batch, mesh)
+    assert gbatch["image"].shape == (world_batch, 32, 32, 3), gbatch["image"].shape
+
+    losses = []
+    for s in range(steps):
+        state, m = step_fn(state, gbatch, jax.random.key(123 + s))
+        losses.append(float(jax.device_get(m["loss"])))
+
+    # host_gather (reference concat_all_gather): per-host features →
+    # all hosts see the full set, tiled in host order.
+    feats = np.full((world_batch // max(nproc, 1), 3), pid, np.float32)
+    gathered = mesh_lib.host_gather(feats)
+    if nproc > 1:
+        want = np.concatenate(
+            [np.full((world_batch // nproc, 3), p, np.float32) for p in range(nproc)])
+        np.testing.assert_array_equal(np.asarray(gathered), want)
+
+    if pid == 0:
+        with open(out_fn, "w") as f:
+            json.dump({"losses": losses,
+                       "nproc": jax.process_count(),
+                       "ndev": len(jax.devices()),
+                       "gather_rows": int(np.asarray(gathered).shape[0])}, f)
+    print(f"worker {pid}/{nproc} done: losses={losses}")
+
+
+if __name__ == "__main__":
+    main()
