@@ -509,7 +509,7 @@ def get_audioset(data_path, dataset=VideoDataset, partition="unbalanced_train",
 
 
 def _get_avsbench(data_path, partition, versions, return_semantics, oversample,
-                  label_fix=None, **kwargs):
+                  label_fix=None, split_objs=True, **kwargs):
     data = list(csv.reader(open(f"{data_path}/metadata.csv")))[1:]
     classes = json.load(open(f"{data_path}/label2idx.json"))
     if versions is not None:
@@ -521,7 +521,10 @@ def _get_avsbench(data_path, partition, versions, return_semantics, oversample,
         folder = f"{label}/{uid}"
         if os.path.exists(f"{data_path}/{folder}"):
             samples.append(folder)
-            names = a_obj.split("_")
+            # S4 rows name ONE object whose class name may itself contain
+            # underscores — the reference looks it up whole (datasets.py:660);
+            # only MS3/AVSS split multi-object strings on '_' (:684, :707).
+            names = a_obj.split("_") if split_objs else [a_obj]
             if label_fix:
                 names = [label_fix(n) for n in names]
             class_labels.append([classes[n] for n in names])
@@ -535,7 +538,7 @@ def _get_avsbench(data_path, partition, versions, return_semantics, oversample,
 def get_avsbench_s4(data_path, partition="train", **kwargs):
     kwargs.pop("dataset", None)
     return _get_avsbench(data_path, partition, ("v1s",), False, 10,
-                         label_fix=None, **kwargs)
+                         label_fix=None, split_objs=False, **kwargs)
 
 
 def get_avsbench_ms3(data_path, partition="train", **kwargs):
