@@ -14,7 +14,14 @@ Shapes (ViT-B VGGSound pretraining config, batch 64):
   * joint fusion self-attn bound:       324 (196+96+32)
 
 Usage: python bench_attention.py [batch] [--fwd-only] [--allow-cpu]
+       python bench_attention.py [batch] --in-context
 Prints one JSON line with per-shape timings and the verdict.
+
+--in-context times a FULL ViT block (qkv proj + attention + mlp) at
+64x228x768 with the attention on each path — the measurement that exposed
+round 2's 15x Pallas regression (isolated-op wins did not transfer because
+the v1 kernel's host-side pad/slice fenced XLA fusion around the custom
+call; see ops/pallas/flash_attention.py v2 notes).
 """
 import json
 import os
@@ -65,10 +72,57 @@ def time_chained(op, q, k, v, iters=400, grad=False):
     return (time.perf_counter() - t0) / iters
 
 
+def bench_in_context(batch, interp):
+    """Full ViT block fwd (and fwd+bwd) with XLA vs Pallas attention inside."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepavfusion_tpu.models.layers import Block
+
+    n, d = 228, 768
+    rows = {}
+    for mode in ("xla", "pallas"):
+        # the dispatch env is read at trace time (ops/attention.py), so
+        # toggling it between jit compiles selects the path cleanly
+        os.environ.pop("DAVF_PALLAS", None)
+        os.environ.pop("DAVF_NO_PALLAS", None)
+        os.environ["DAVF_PALLAS" if mode == "pallas" else "DAVF_NO_PALLAS"] = "1"
+
+        blk = Block(num_heads=12, mlp_ratio=4.0, qkv_bias=True,
+                    dtype=jnp.bfloat16)
+        x = jnp.asarray(np.random.RandomState(0).randn(batch, n, d), jnp.bfloat16)
+        params = blk.init(jax.random.key(0), x, True)["params"]
+
+        def fwd(xx):
+            return blk.apply({"params": params}, xx, True)
+
+        rows[f"{mode}_block_fwd_us"] = round(
+            time_chained(lambda q, k, v: fwd(q), x, None, None, iters=100) * 1e6, 1)
+
+        def loss(xx):
+            return fwd(xx).astype(jnp.float32).sum()
+
+        g = jax.grad(loss)
+
+        def gbody(q, k, v):
+            return q + 1e-6 * g(q).astype(q.dtype)
+
+        rows[f"{mode}_block_bwd_us"] = round(
+            time_chained(gbody, x, None, None, iters=100) * 1e6, 1)
+    os.environ.pop("DAVF_PALLAS", None)
+    os.environ.pop("DAVF_NO_PALLAS", None)
+    rows["fwd_ratio_pallas_over_xla"] = round(
+        rows["pallas_block_fwd_us"] / rows["xla_block_fwd_us"], 3)
+    rows["bwd_ratio_pallas_over_xla"] = round(
+        rows["pallas_block_bwd_us"] / rows["xla_block_bwd_us"], 3)
+    return rows
+
+
 def main():
     argv = [a for a in sys.argv[1:]]
     fwd_only = "--fwd-only" in argv
     allow_cpu = "--allow-cpu" in argv
+    in_context = "--in-context" in argv
     argv = [a for a in argv if not a.startswith("--")]
     batch = int(argv[0]) if argv else 64
 
@@ -90,6 +144,17 @@ def main():
               "(--allow-cpu to override)", file=sys.stderr)
         sys.exit(1)
     interp = backend != "tpu"   # CPU smoke runs the kernels in interpret mode
+
+    if in_context:
+        rows = bench_in_context(batch, interp)
+        print(json.dumps({
+            "metric": "in-context ViT block (xla vs pallas attention)",
+            "value": rows["fwd_ratio_pallas_over_xla"],
+            "unit": "pallas/xla block-fwd time ratio",
+            "vs_baseline": 1.0,
+            "batch": batch, "backend": backend, **rows,
+        }))
+        return
 
     B = batch
     # (name, H, Nq, Nk, Dh, scale_override)

@@ -1,0 +1,182 @@
+"""On-hardware learning evidence: real-data pretraining + kNN probe.
+
+VERDICT round-2 item 4b: the CPU overfit tests (tests/test_learning.py)
+prove optimization mechanics; this script proves the FULL production path
+learns on real media on the real TPU — C++ decode → threaded loader →
+log-mel front-end → jitted bf16 ViT-B AVMAE step → kNN retrieval probe.
+
+Corpus: avencode clips whose audio tone family is determined by seed % 4
+(octaves 220/440/880/1760 Hz, native/avencode.cpp) — deterministic synthetic
+media with real H.264/AAC decode cost AND usable class structure. A model
+that learns audio representations must beat 25% chance on audio 1-NN
+retrieval; the image track has no class structure (gradients + noise), so
+image nn-acc ~25% is the built-in negative control.
+
+Prints ONE JSON line with the loss curve and init-vs-trained probe metrics.
+Usage: python bench_learn.py [steps=200] [batch=32]
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+NATIVE = Path(__file__).parent / "deepavfusion_tpu" / "native"
+CORPUS = Path(os.path.expanduser("~/.cache/deepavfusion_tpu/learn_corpus"))
+N_CLIPS = 256
+N_PROBE = 192
+
+
+def make_corpus():
+    enc = NATIVE / "avencode"
+    if not enc.exists():
+        subprocess.run(["make", "-C", str(NATIVE), "avencode"], check=True,
+                       capture_output=True)
+    CORPUS.mkdir(parents=True, exist_ok=True)
+    fns = sorted(CORPUS.glob("clip*.mp4"))
+    if len(fns) >= N_CLIPS:
+        return [f.name for f in fns][:N_CLIPS]
+
+    def gen(i):
+        fn = CORPUS / f"clip{i:04d}.mp4"
+        if not fn.exists():
+            subprocess.run([str(enc), str(fn), "6", "25", "320", "240", str(i)],
+                           check=True, capture_output=True)
+        return fn.name
+
+    with ThreadPoolExecutor(os.cpu_count() or 8) as pool:
+        return sorted(pool.map(gen, range(N_CLIPS)))
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    files = make_corpus()
+    labels_by_file = {fn: int(fn[4:8]) % 4 for fn in files}
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepavfusion_tpu import runtime
+    runtime.setup()
+    from deepavfusion_tpu.data import datasets, loader, transforms
+    from deepavfusion_tpu.models import deepavfusion as trunk_mod
+    from deepavfusion_tpu.parallel import mesh as mesh_lib
+    from deepavfusion_tpu.train import knn_probe, pretrain
+
+    mesh = mesh_lib.make_mesh({"data": len(jax.devices())})
+    # DAVF_LEARN_TINY=1: small-model smoke for CPU plumbing checks
+    tiny = os.environ.get("DAVF_LEARN_TINY") == "1"
+    size_kw = (dict(image_backbone="vit_small", audio_backbone="vit_small",
+                    image_depth=2, audio_depth=2, image_size=64,
+                    audio_mels=32, num_fusion_tkns=(4, 2, 2),
+                    fusion_num_heads=6, image_decoder_depth=1,
+                    audio_decoder_depth=1) if tiny else {})
+    cfg = pretrain.PretrainConfig(
+        fusion_mlp_ratio=1.0, dtype=jnp.bfloat16, scan_layers=True,
+        lr=2.5e-4, warmup_epochs=0.5, epochs=2.0, steps_per_epoch=100.0,
+        **size_kw)
+    model = pretrain.build_model(cfg)
+    params = pretrain.init_params(model, cfg, seed=0)
+    init_params_host = jax.tree.map(np.asarray, params)
+    _, state, step_fn, _ = pretrain.make_pretrain_step(
+        model, params, cfg, world_batch=batch, mesh=mesh)
+    state = mesh_lib.replicate(state, mesh)
+
+    audio_dur = cfg.audio_frames / 64.0
+    db = datasets.VideoDataset(
+        base_path=str(CORPUS), video_files=list(files),
+        class_labels=[labels_by_file[f] for f in files],
+        class_desc=["c0", "c1", "c2", "c3"],
+        visual_transform=transforms.ImageTrainTransform(cfg.image_size, 0.5),
+        audio_transform=transforms.AudioTrainTransform(
+            16000, audio_dur, cfg.audio_mels),
+        audio_dur=audio_dur, temporal_jitter=True,
+    )
+    dl = loader.DataLoader(db, batch_size=batch, shuffle=True, drop_last=True,
+                           workers=int(os.environ.get("DAVF_BENCH_WORKERS", "8")),
+                           prefetch=2, replacement=True)
+
+    # ---- probe setup: deterministic eval views + jitted encoder ---------- #
+    probe_db = datasets.VideoDataset(
+        base_path=str(CORPUS), video_files=list(files[:N_PROBE]),
+        class_labels=[labels_by_file[f] for f in files[:N_PROBE]],
+        class_desc=["c0", "c1", "c2", "c3"],
+        visual_transform=transforms.ImageEvalTransform(cfg.image_size),
+        audio_transform=transforms.AudioEvalTransform(
+            16000, audio_dur, cfg.audio_mels),
+        audio_dur=audio_dur, temporal_jitter=False,
+    )
+    probe_batches = []
+    with ThreadPoolExecutor(os.cpu_count() or 8) as pool:
+        samples = list(pool.map(probe_db.__getitem__, range(N_PROBE)))
+    for i in range(0, N_PROBE, batch):
+        chunk = samples[i:i + batch]
+        probe_batches.append({
+            k: np.stack([s[k] for s in chunk]) for k in ("image", "audio")
+        } | {"label": np.asarray(
+            [labels_by_file[files[j]] for j in range(i, i + len(chunk))])})
+
+    encoder = trunk_mod.DeepAVFusion(cfg_dataclass := model.cfg.encoder,
+                                     dtype=jnp.bfloat16)
+
+    @jax.jit
+    def encode(p, image, audio):
+        return encoder.apply({"params": p["encoder"]},
+                             jnp.asarray(image, jnp.bfloat16),
+                             jnp.asarray(audio, jnp.bfloat16))
+
+    def probe(p):
+        return knn_probe.knn_metrics(*knn_probe.extract_features(
+            encode, probe_batches, p))
+
+    t0 = time.time()
+    init_metrics = probe(init_params_host)
+    print(f"init probe ({time.time()-t0:.0f}s): {init_metrics}", file=sys.stderr)
+
+    # ---- training loop --------------------------------------------------- #
+    losses = []
+    it = iter(dl)
+    t0 = time.time()
+    for s in range(steps):
+        try:
+            b = next(it)
+        except StopIteration:
+            it = iter(dl)
+            b = next(it)
+        gb = mesh_lib.shard_batch(
+            {"image": b["image"], "audio": b["audio"]}, mesh)
+        state, m = step_fn(state, gb, jax.random.key(1000 + s))
+        losses.append(float(jax.device_get(m["loss"])))
+        if s % 20 == 0 or s == steps - 1:
+            print(f"step {s}: loss {losses[-1]:.4f} "
+                  f"({time.time()-t0:.0f}s)", file=sys.stderr)
+    assert np.isfinite(losses).all()
+
+    trained = jax.tree.map(np.asarray, jax.device_get(state.params))
+    trained_metrics = probe(trained)
+    print(f"trained probe: {trained_metrics}", file=sys.stderr)
+
+    first, last = float(np.mean(losses[:10])), float(np.mean(losses[-10:]))
+    print(json.dumps({
+        "metric": "on-hardware pretrain learning evidence",
+        "value": round(trained_metrics["audio_nn_acc"], 2),
+        "unit": "audio 1-NN acc % (chance 25)",
+        "vs_baseline": round(trained_metrics["audio_nn_acc"] / 25.0, 3),
+        "steps": steps, "batch": batch,
+        "loss_first10_mean": round(first, 4),
+        "loss_last10_mean": round(last, 4),
+        "loss_curve_every20": [round(l, 4) for l in losses[::20]],
+        "probe_init": {k: round(v, 2) for k, v in init_metrics.items()},
+        "probe_trained": {k: round(v, 2) for k, v in trained_metrics.items()},
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

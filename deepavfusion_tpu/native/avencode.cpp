@@ -179,8 +179,14 @@ int main(int argc, char** argv) {
   const int n_video = (int)(seconds * fps);
   const int64_t n_audio = (int64_t)(seconds * rate);
   int64_t apts = 0;
-  // tone mixture + noise, amplitude-modulated
-  double f1 = 220.0 + 440.0 * rng.uniform(), f2 = 880.0 + 880.0 * rng.uniform();
+  // Tone mixture + noise, amplitude-modulated. The base frequency is an
+  // octave determined by seed%4 (plus ~5% jitter): clips in the same
+  // seed-class share a tone family, giving the synthetic corpus usable
+  // class structure for retrieval/kNN evaluation (labels = seed % 4) while
+  // staying fully deterministic per seed.
+  const double base = 220.0 * std::pow(2.0, (double)(seed % 4));
+  double f1 = base * (1.0 + 0.05 * (rng.uniform() - 0.5));
+  double f2 = 2.0 * base * (1.0 + 0.05 * (rng.uniform() - 0.5));
 
   for (int t = 0; t < n_video; ++t) {
     if (av_frame_make_writable(vf) < 0) return die("frame writable");

@@ -24,11 +24,14 @@ def _on_tpu() -> bool:
 def _use_pallas_default() -> bool:
     """Global Pallas override.
 
-    On-hardware A/B (v5e, all 10 real shapes, fwd+bwd, 400-iteration
-    single-dispatch chains — NOTES.md): XLA wins 17/20, so XLA is the
-    training default. Set DAVF_PALLAS=1 to force the Pallas kernels
-    everywhere, DAVF_NO_PALLAS=1 to force XLA everywhere (disables the
-    large-N inference fast path below too).
+    On-hardware A/B of kernel v2 (v5e, all 10 real shapes, fwd+bwd,
+    400-iteration single-dispatch chains — NOTES.md r3): XLA wins 14/20,
+    all of them at small shapes sitting on the ~100 us dispatch floor, so
+    XLA remains the *training* default (pretrain runs at visible-token
+    sizes 81/51). Pallas wins every N >= 192 shape — those route
+    automatically at inference (_pallas_for_inference). Set DAVF_PALLAS=1
+    to force the Pallas kernels everywhere, DAVF_NO_PALLAS=1 to force XLA
+    everywhere (disables the large-N inference fast path too).
     """
     import os
 
@@ -39,22 +42,26 @@ def _use_pallas_default() -> bool:
     return _on_tpu()
 
 
-# The isolated-op A/B showed Pallas fwd wins at the two largest shapes
-# (228 tokens: 875→620 µs; 324: 1259→921 µs), but IN-CONTEXT measurement
-# (full ViT block fwd at 64×228×768 on the v5e) showed the Pallas custom
-# call 15x SLOWER than the XLA path (38.9 vs 2.6 ms/block) — inserting the
-# custom call breaks XLA's fusion across the qkv/mlp neighborhood. The
-# auto route is therefore OPT-IN (DAVF_PALLAS_INFER=1) until the in-context
-# regression is root-caused; isolated-op wins do not transfer.
+# Large-N inference fast path — ON by default since kernel v2 (round 3).
+#
+# History: the v1 kernel won the two largest shapes in isolation but was 15x
+# SLOWER in-context (38.9 vs 2.6 ms per 64x228x768 ViT block fwd) — its
+# host-side jnp.pad of the head dim to 128 lanes (and the slice back) added
+# HBM round-trips and fenced XLA's fusion around the custom call, so the
+# route shipped opt-in. v2 (ops/pallas/flash_attention.py) passes the
+# natural (B, H, N, Dh) layout straight through, and the in-context block
+# re-measurement (bench_attention.py --in-context, v5e) shows parity on the
+# block fwd (ratio 1.001) and 8% FASTER block bwd (4434 vs 4815 us), while
+# the isolated A/B has Pallas winning every N >= 192 fwd shape
+# (enc_img_full 445 vs 649 us, joint_324 678 vs 1236 us — NOTES.md r3).
+# DAVF_NO_PALLAS=1 or DAVF_NO_PALLAS_INFER=1 disables the route.
 _PALLAS_INFERENCE_MIN_N = 192
 
 
 def _pallas_for_inference(q, k, bias) -> bool:
     import os
 
-    if os.environ.get("DAVF_NO_PALLAS"):
-        return False
-    if not os.environ.get("DAVF_PALLAS_INFER"):
+    if os.environ.get("DAVF_NO_PALLAS") or os.environ.get("DAVF_NO_PALLAS_INFER"):
         return False
     return (bias is None and q.shape[2] >= _PALLAS_INFERENCE_MIN_N
             and k.shape[2] >= _PALLAS_INFERENCE_MIN_N and _on_tpu())
@@ -102,11 +109,12 @@ def dot_product_attention(
 ):
     """Dispatching attention.
 
-    Policy (data-driven, NOTES.md A/B): XLA einsum everywhere by default —
-    the isolated-op Pallas wins did NOT transfer in context (see
-    _pallas_for_inference). DAVF_PALLAS=1 forces Pallas globally;
-    DAVF_PALLAS_INFER=1 enables the large-N inference route. Falls back to
-    XLA whenever attention weights are requested or a bias is supplied. The
+    Policy (data-driven, NOTES.md r3 A/B): XLA einsum for the small
+    (visible-token) training shapes where it wins every A/B row; the v2
+    Pallas kernel for inference at N >= 192 where it wins both isolated and
+    in-context (see _pallas_for_inference). DAVF_PALLAS=1 forces Pallas
+    globally; DAVF_NO_PALLAS=1 forces XLA everywhere. Falls back to XLA
+    whenever attention weights are requested or a bias is supplied. The
     Pallas kernel carries a custom VJP, so a differentiated call stays
     correct either way.
     """

@@ -4,8 +4,25 @@ Covers every attention shape in the framework (SURVEY.md §5.7): encoder
 self-attention with fusion-token prefix (N ≤ 324), MAE decoder self-attention
 (N ≤ 228), fusion cross-attention, and factorized pair-attention. Sequence
 lengths are small, so the design goal is not tiling a huge N but *fusing the
-whole softmax(QKᵀ)V chain in VMEM* — no logits materialized in HBM — with one
-grid step per (batch × head).
+whole softmax(QKᵀ)V chain in VMEM* — no logits materialized in HBM.
+
+v2 design (round-3; the v1 kernel lost its own A/B, VERDICT r2 weak #1):
+
+  * NO host-side padding. v1 jnp.pad'ed the head dim up to 128 lanes in HBM
+    (8x the bytes for the Dh=16 fusion heads) and sliced the result back —
+    extra HBM round-trips on every call, and the pad/slice ops fence XLA's
+    fusion around the custom call (the root cause of the 15x in-context
+    regression, NOTES.md r2). v2 passes the natural (B, H, N, Dh) arrays
+    straight through; Mosaic masks the non-tile-aligned tails in VMEM, so
+    HBM traffic is the logical bytes.
+  * Heads are packed per grid step: grid (B, H/HG) with an (HG, N, Dh)
+    block, batched dot_generals over the head-group dim. v1 launched one
+    grid step per (batch*head) — 768 tiny launches at B=64/H=12 whose fixed
+    cost dominated every small shape (pair_attn 933 us vs 112 us XLA).
+    HG is the largest head count whose working set fits a VMEM budget.
+  * lse is carried as (B, H, Nq, 1) so the backward's broadcast against the
+    (HG, Nq, Nk) logits is a free lane-broadcast (v1 stored a 128-lane
+    replicated copy — more HBM traffic, and a relayout in bwd).
 
 pallas_call does not support reverse-mode autodiff, so training goes through
 an explicit custom_vjp (the standard flash-attention backward): the forward
@@ -24,76 +41,78 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e30
+# Per-grid-step VMEM working-set budget. Physical VMEM is ~16 MB; Mosaic
+# double-buffers the in/out blocks across grid steps, so stay well under.
+_VMEM_BUDGET = 5 * 1024 * 1024
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+def _head_group(h: int, per_head_bytes: int) -> int:
+    """Largest divisor of h whose working set fits the VMEM budget."""
+    hg = max(min(_VMEM_BUDGET // max(per_head_bytes, 1), h), 1)
+    while h % hg:
+        hg -= 1
+    return hg
+
+
+_BATCH_DNUMS = (((2,), (2,)), ((0,), (0,)))   # (HG,M,K)x(HG,N,K) -> (HG,M,N)
+_PV_DNUMS = (((2,), (1,)), ((0,), (0,)))      # (HG,M,K)x(HG,K,N) -> (HG,M,N)
 
 
 # --------------------------------------------------------------------------- #
 # Kernels
 # --------------------------------------------------------------------------- #
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, kv_len: int):
-    """One (batch·head) slice fully in VMEM: q (Nq, Dh), k/v (Nkp, Dh[v])."""
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
+    """One (batch, head-group) slice fully in VMEM.
+
+    q (1, HG, Nq, Dh), k (1, HG, Nk, Dh), v (1, HG, Nk, Dhv).
+    """
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
 
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                                   # (Nq, Nkp)
-    nkp = k.shape[0]
-    if nkp != kv_len:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < kv_len, logits, NEG_INF)
-
+        q, k, _BATCH_DNUMS, preferred_element_type=jnp.float32
+    ) * scale                                               # (HG, Nq, Nk)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p, v, _PV_DNUMS, preferred_element_type=jnp.float32
     ) / denom
     o_ref[0] = out.astype(o_ref.dtype)
-    # lse broadcast across a full 128-lane tile (layout-friendly on TPU)
-    lse = (m + jnp.log(denom)).astype(jnp.float32)          # (Nq, 1)
-    lse_ref[0] = jnp.broadcast_to(lse, (lse.shape[0], 128))
+    lse_ref[0] = m + jnp.log(denom)                         # (HG, Nq, 1)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale: float, kv_len: int):
-    """Fused dq/dk/dv for one (batch·head) slice, recomputing P from lse."""
+                dq_ref, dk_ref, dv_ref, *, scale: float):
+    """Fused dq/dk/dv for one (batch, head-group) slice, recomputing P."""
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     o = o_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, :1]                                 # (Nq, 1)
+    lse = lse_ref[0]                                        # (HG, Nq, 1)
     do = do_ref[0].astype(jnp.float32)
 
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, _BATCH_DNUMS, preferred_element_type=jnp.float32
     ) * scale
-    nkp = k.shape[0]
-    if nkp != kv_len:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < kv_len, logits, NEG_INF)
-    p = jnp.exp(logits - lse)                                   # (Nq, Nkp)
+    p = jnp.exp(logits - lse)                               # (HG, Nq, Nk)
 
-    # dv = Pᵀ dO
+    # dv = Pᵀ dO  — (HG, Nk, Dhv)
     dv = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     # dP = dO Vᵀ ; D = rowsum(dO ∘ O) ; dS = P ∘ (dP − D)
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do, v, _BATCH_DNUMS, preferred_element_type=jnp.float32
     )
     dcap = jnp.sum(do * o, axis=-1, keepdims=True)
     ds = p * (dp - dcap)
     dq = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds, k, _PV_DNUMS, preferred_element_type=jnp.float32
     ) * scale
     dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
 
     dq_ref[0] = dq.astype(dq_ref.dtype)
@@ -102,23 +121,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
 
 
 # --------------------------------------------------------------------------- #
-# Host-side padding / pallas_call plumbing
+# pallas_call plumbing — no host-side padding, natural (B, H, N, D) layout
 # --------------------------------------------------------------------------- #
-def _pad_inputs(q, k, v):
-    b, h, nq, dh = q.shape
-    nk = k.shape[2]
-    dhv = v.shape[3]
-    nq_p, nk_p = _round_up(nq, 8), _round_up(nk, 8)
-    dh_p, dhv_p = _round_up(dh, 128), _round_up(dhv, 128)
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, nq_p - nq), (0, dh_p - dh)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, nk_p - nk), (0, dh_p - dh)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, nk_p - nk), (0, dhv_p - dhv)))
-    return (qp.reshape(b * h, nq_p, dh_p), kp.reshape(b * h, nk_p, dh_p),
-            vp.reshape(b * h, nk_p, dhv_p))
-
-
-def _block(shape_nd):
-    return pl.BlockSpec((1,) + shape_nd, lambda i: (i,) + (0,) * len(shape_nd),
+def _block(hg, *shape_nd):
+    return pl.BlockSpec((1, hg) + tuple(shape_nd),
+                        lambda b, g: (b, g, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -126,28 +133,27 @@ def _fwd_call(q, k, v, scale, interpret):
     b, h, nq, dh = q.shape
     nk = k.shape[2]
     dhv = v.shape[3]
-    qp, kp, vp = _pad_inputs(q, k, v)
-    bh, nq_p, dh_p = qp.shape
-    nk_p, dhv_p = kp.shape[1], vp.shape[2]
+    # f32 working set per head: q,k,v,o rows + logits/p (the big one) + lse
+    per_head = 4 * (nq * dh + nk * dh + nk * dhv + nq * dhv + 2 * nq * nk + nq)
+    hg = _head_group(h, per_head)
 
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, kv_len=nk),
-        grid=(bh,),
-        in_specs=[_block((nq_p, dh_p)), _block((nk_p, dh_p)), _block((nk_p, dhv_p))],
-        out_specs=(_block((nq_p, dhv_p)), _block((nq_p, 128))),
+        functools.partial(_fwd_kernel, scale=scale),
+        grid=(b, h // hg),
+        in_specs=[_block(hg, nq, dh), _block(hg, nk, dh), _block(hg, nk, dhv)],
+        out_specs=(_block(hg, nq, dhv), _block(hg, nq, 1)),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, nq_p, dhv_p), q.dtype),
-            jax.ShapeDtypeStruct((bh, nq_p, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nq, dhv), q.dtype),
+            jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * bh * nq_p * nk_p * (dh_p + dhv_p),
-            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
-            transcendentals=bh * nq_p * nk_p,
+            flops=2 * b * h * nq * nk * (dh + dhv),
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * nq * nk,
         ),
-    )(qp, kp, vp)
-    out_full = out.reshape(b, h, nq_p, dhv_p)[:, :, :nq, :dhv]
-    return out_full, (out, lse)
+    )(q, k, v)
+    return out, lse
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -156,46 +162,39 @@ def _flash(q, k, v, scale, interpret):
 
 
 def _flash_fwd(q, k, v, scale, interpret):
-    out_full, (out_p, lse) = _fwd_call(q, k, v, scale, interpret)
-    return out_full, (q, k, v, out_p, lse)
+    out, lse = _fwd_call(q, k, v, scale, interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, interpret, residuals, g):
-    q, k, v, out_p, lse = residuals
+    q, k, v, out, lse = residuals
     b, h, nq, dh = q.shape
     nk = k.shape[2]
     dhv = v.shape[3]
-    qp, kp, vp = _pad_inputs(q, k, v)
-    bh, nq_p, dh_p = qp.shape
-    nk_p, dhv_p = kp.shape[1], vp.shape[2]
-    gp = jnp.pad(
-        g, ((0, 0), (0, 0), (0, nq_p - nq), (0, dhv_p - dhv))
-    ).reshape(bh, nq_p, dhv_p)
+    per_head = 4 * (2 * (nq * dh + nk * dh) + 2 * (nk * dhv + nq * dhv)
+                    + 3 * nq * nk + nq)
+    hg = _head_group(h, per_head)
 
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, kv_len=nk),
-        grid=(bh,),
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=(b, h // hg),
         in_specs=[
-            _block((nq_p, dh_p)), _block((nk_p, dh_p)), _block((nk_p, dhv_p)),
-            _block((nq_p, dhv_p)), _block((nq_p, 128)), _block((nq_p, dhv_p)),
+            _block(hg, nq, dh), _block(hg, nk, dh), _block(hg, nk, dhv),
+            _block(hg, nq, dhv), _block(hg, nq, 1), _block(hg, nq, dhv),
         ],
-        out_specs=(_block((nq_p, dh_p)), _block((nk_p, dh_p)), _block((nk_p, dhv_p))),
+        out_specs=(_block(hg, nq, dh), _block(hg, nk, dh), _block(hg, nk, dhv)),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, nq_p, dh_p), q.dtype),
-            jax.ShapeDtypeStruct((bh, nk_p, dh_p), k.dtype),
-            jax.ShapeDtypeStruct((bh, nk_p, dhv_p), v.dtype),
+            jax.ShapeDtypeStruct((b, h, nq, dh), q.dtype),
+            jax.ShapeDtypeStruct((b, h, nk, dh), k.dtype),
+            jax.ShapeDtypeStruct((b, h, nk, dhv), v.dtype),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=5 * bh * nq_p * nk_p * (dh_p + dhv_p),
-            bytes_accessed=2 * (qp.size + kp.size + vp.size) * qp.dtype.itemsize,
-            transcendentals=bh * nq_p * nk_p,
+            flops=5 * b * h * nq * nk * (dh + dhv),
+            bytes_accessed=2 * (q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * nq * nk,
         ),
-    )(qp, kp, vp, out_p, lse, gp)
-
-    dq = dq.reshape(b, h, nq_p, dh_p)[:, :, :nq, :dh]
-    dk = dk.reshape(b, h, nk_p, dh_p)[:, :, :nk, :dh]
-    dv = dv.reshape(b, h, nk_p, dhv_p)[:, :, :nk, :dhv]
+    )(q, k, v, out, lse, g)
     return dq, dk, dv
 
 

@@ -85,8 +85,9 @@ def test_flash_attention_gradient_matches_xla():
 
 
 def test_pallas_inference_policy(monkeypatch):
-    """Large-N inference routes to Pallas on TPU; training/small/biased
-    shapes stay XLA (policy from the on-hardware A/B, NOTES.md)."""
+    """Large-N inference routes to Pallas on TPU BY DEFAULT since kernel v2
+    (in-context regression root-caused, NOTES.md r3); training/small/biased
+    shapes stay XLA."""
     import numpy as np
 
     from deepavfusion_tpu.ops import attention as A
@@ -94,11 +95,12 @@ def test_pallas_inference_policy(monkeypatch):
     monkeypatch.setattr(A, "_on_tpu", lambda: True)
     q = np.zeros((1, 2, 228, 32)); k = np.zeros((1, 2, 228, 32))
     small_q = np.zeros((1, 2, 81, 32))
-    assert not A._pallas_for_inference(q, k, None)             # opt-in only
-    monkeypatch.setenv("DAVF_PALLAS_INFER", "1")
-    assert A._pallas_for_inference(q, k, None)
+    assert A._pallas_for_inference(q, k, None)                 # default ON
     assert not A._pallas_for_inference(small_q, k, None)       # small N
     assert not A._pallas_for_inference(q, k, np.zeros(1))      # bias
+    monkeypatch.setenv("DAVF_NO_PALLAS_INFER", "1")
+    assert not A._pallas_for_inference(q, k, None)             # route opt-out
+    monkeypatch.delenv("DAVF_NO_PALLAS_INFER")
     monkeypatch.setenv("DAVF_NO_PALLAS", "1")
     assert not A._pallas_for_inference(q, k, None)             # kill switch
     monkeypatch.delenv("DAVF_NO_PALLAS")

@@ -15,11 +15,15 @@ sys.path.insert(0, "/root/repo")
 
 from deepavfusion_tpu.config import load_config
 
-# The conv-heavy entries compile slowly on the CPU backend; run them in the
-# default suite only when RUN_SLOW_TESTS=1 (CI/driver keeps the fast core).
+# The conv-heavy entry smokes run IN THE DEFAULT GATE (VERDICT r2 item 7:
+# a regression in pretrain/resume/finetune/avsegm/avsrcsep/avsync must be
+# visible without opting in). They add ~10 min of CPU-backend compile; set
+# SKIP_SLOW_TESTS=1 for quick local iteration. RUN_SLOW_TESTS=1 is still
+# accepted for backward compatibility and forces them on.
 slow = pytest.mark.skipif(
-    os.environ.get("RUN_SLOW_TESTS", "0") != "1",
-    reason="slow entry smoke (set RUN_SLOW_TESTS=1)",
+    os.environ.get("SKIP_SLOW_TESTS", "0") == "1"
+    and os.environ.get("RUN_SLOW_TESTS", "0") != "1",
+    reason="slow entry smoke (unset SKIP_SLOW_TESTS)",
 )
 
 TINY = [
