@@ -179,14 +179,15 @@ int main(int argc, char** argv) {
   const int n_video = (int)(seconds * fps);
   const int64_t n_audio = (int64_t)(seconds * rate);
   int64_t apts = 0;
-  // Tone mixture + noise, amplitude-modulated. The base frequency is an
-  // octave determined by seed%4 (plus ~5% jitter): clips in the same
-  // seed-class share a tone family, giving the synthetic corpus usable
-  // class structure for retrieval/kNN evaluation (labels = seed % 4) while
+  // Tone mixture + noise. Carrier tones are random per clip, but the
+  // AMPLITUDE-MODULATION rate is a class attribute: seed%4 selects
+  // 0.65/1.3/2.6/5.2 Hz. Clips in the same seed-class share only temporal
+  // envelope structure — spectrally they differ — so kNN retrieval over
+  // features (labels = seed%4) is non-trivial for an untrained model and
+  // tests whether learned features capture temporal structure, while
   // staying fully deterministic per seed.
-  const double base = 220.0 * std::pow(2.0, (double)(seed % 4));
-  double f1 = base * (1.0 + 0.05 * (rng.uniform() - 0.5));
-  double f2 = 2.0 * base * (1.0 + 0.05 * (rng.uniform() - 0.5));
+  const double am_rate = 0.65 * std::pow(2.0, (double)(seed % 4));
+  double f1 = 220.0 + 440.0 * rng.uniform(), f2 = 880.0 + 880.0 * rng.uniform();
 
   for (int t = 0; t < n_video; ++t) {
     if (av_frame_make_writable(vf) < 0) return die("frame writable");
@@ -201,9 +202,9 @@ int main(int argc, char** argv) {
       float* dst = (float*)af->data[0];
       for (int i = 0; i < af->nb_samples; ++i) {
         double tt = (apts + i) / (double)rate;
-        double am = 0.5 + 0.5 * std::sin(2 * M_PI * 0.5 * tt);
-        dst[i] = (float)(0.3 * am * std::sin(2 * M_PI * f1 * tt) +
-                         0.2 * std::sin(2 * M_PI * f2 * tt) +
+        double am = 0.5 + 0.5 * std::sin(2 * M_PI * am_rate * tt);
+        dst[i] = (float)(am * (0.3 * std::sin(2 * M_PI * f1 * tt) +
+                               0.2 * std::sin(2 * M_PI * f2 * tt)) +
                          0.05 * (rng.uniform() - 0.5));
       }
       af->pts = apts;

@@ -126,7 +126,17 @@ def dot_product_attention(
     if use_pallas:
         from .pallas.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale=scale)
+        # The backend check above is trace-time, but the LOWERING platform
+        # can differ (e.g. model.init under jax.default_device(cpu) while
+        # the default backend is TPU, or a multi-platform serving export).
+        # platform_dependent resolves per lowering platform, so non-TPU
+        # lowerings fall back to the XLA path instead of failing in
+        # pallas_call's cpu lowering.
+        return jax.lax.platform_dependent(
+            q, k, v,
+            tpu=lambda qq, kk, vv: flash_attention(qq, kk, vv, scale=scale),
+            default=lambda qq, kk, vv: xla_attention(qq, kk, vv, scale=scale),
+        )
     return xla_attention(q, k, v, scale=scale)
 
 
