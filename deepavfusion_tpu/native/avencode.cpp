@@ -179,15 +179,18 @@ int main(int argc, char** argv) {
   const int n_video = (int)(seconds * fps);
   const int64_t n_audio = (int64_t)(seconds * rate);
   int64_t apts = 0;
-  // Tone mixture + noise. Carrier tones are random per clip, but the
-  // AMPLITUDE-MODULATION rate is a class attribute: seed%4 selects
-  // 0.65/1.3/2.6/5.2 Hz. Clips in the same seed-class share only temporal
-  // envelope structure — spectrally they differ — so kNN retrieval over
-  // features (labels = seed%4) is non-trivial for an untrained model and
-  // tests whether learned features capture temporal structure, while
-  // staying fully deterministic per seed.
-  const double am_rate = 0.65 * std::pow(2.0, (double)(seed % 4));
-  double f1 = 220.0 + 440.0 * rng.uniform(), f2 = 880.0 + 880.0 * rng.uniform();
+  // Tone mixture + noise, amplitude-modulated. The PRIMARY tone's frequency
+  // band is a class attribute: seed%4 selects an eighth-octave band
+  // (220*2^(k/8) .. 220*2^((k+1)/8) Hz — adjacent, narrowly separated), with
+  // the exact frequency uniform within the band; a louder random distractor
+  // tone spans 880-1760 Hz. Clips in the same seed-class share only the
+  // primary band, so kNN retrieval over features (labels = seed%4) is
+  // non-trivial for an untrained model but clearly learnable, while staying
+  // fully deterministic per seed.
+  const double am_rate = 0.5;
+  const int cls = (int)(seed % 4);
+  double f1 = 220.0 * std::pow(2.0, (cls + rng.uniform()) / 8.0);
+  double f2 = 880.0 + 880.0 * rng.uniform();
 
   for (int t = 0; t < n_video; ++t) {
     if (av_frame_make_writable(vf) < 0) return die("frame writable");
@@ -203,8 +206,8 @@ int main(int argc, char** argv) {
       for (int i = 0; i < af->nb_samples; ++i) {
         double tt = (apts + i) / (double)rate;
         double am = 0.5 + 0.5 * std::sin(2 * M_PI * am_rate * tt);
-        dst[i] = (float)(am * (0.3 * std::sin(2 * M_PI * f1 * tt) +
-                               0.2 * std::sin(2 * M_PI * f2 * tt)) +
+        dst[i] = (float)(am * (0.15 * std::sin(2 * M_PI * f1 * tt) +
+                               0.3 * std::sin(2 * M_PI * f2 * tt)) +
                          0.05 * (rng.uniform() - 0.5));
       }
       af->pts = apts;

@@ -67,6 +67,23 @@ def _pallas_for_inference(q, k, bias) -> bool:
             and k.shape[2] >= _PALLAS_INFERENCE_MIN_N and _on_tpu())
 
 
+def _pallas_for_training(q, k, bias) -> bool:
+    """Experimental: route TRAINING attention at N >= DAVF_PALLAS_TRAIN_MIN_N
+    to the Pallas kernel (e.g. the 228-token MAE image decoder, where the
+    isolated fwd A/B favors Pallas 636 vs 808 us). Off unless the env knob
+    is set — the end-to-end effect is measured by
+    `DAVF_PALLAS_TRAIN_MIN_N=192 python bench.py` and recorded in NOTES."""
+    import os
+
+    if os.environ.get("DAVF_NO_PALLAS"):
+        return False
+    n = os.environ.get("DAVF_PALLAS_TRAIN_MIN_N")
+    if not n:
+        return False
+    n = int(n)
+    return (bias is None and q.shape[2] >= n and k.shape[2] >= n and _on_tpu())
+
+
 def xla_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -122,7 +139,8 @@ def dot_product_attention(
         return xla_attention(q, k, v, bias=bias, return_weights=return_weights, scale=scale)
     if use_pallas is None:
         use_pallas = _use_pallas_default() or (
-            inference and _pallas_for_inference(q, k, bias))
+            inference and _pallas_for_inference(q, k, bias)) or (
+            not inference and _pallas_for_training(q, k, bias))
     if use_pallas:
         from .pallas.flash_attention import flash_attention
 

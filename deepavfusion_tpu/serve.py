@@ -96,7 +96,19 @@ def export_fn(
     specs = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), jnp.asarray(x).dtype), args
     )
-    exp = jexport.export(jax.jit(fn), platforms=list(platforms))(*specs)
+    # Trace with the Pallas route disabled: a bundle is a portable artifact
+    # and jax.export offers no cross-version compatibility guarantee for
+    # Mosaic custom calls (the route would otherwise bake one into the tpu
+    # branch when exporting FROM a TPU host, ops/attention.py).
+    prev = os.environ.get("DAVF_NO_PALLAS")
+    os.environ["DAVF_NO_PALLAS"] = "1"
+    try:
+        exp = jexport.export(jax.jit(fn), platforms=list(platforms))(*specs)
+    finally:
+        if prev is None:
+            os.environ.pop("DAVF_NO_PALLAS", None)
+        else:
+            os.environ["DAVF_NO_PALLAS"] = prev
     with open(os.path.join(out_dir, _HLO), "wb") as f:
         f.write(exp.serialize())
     _save_params(params, os.path.join(out_dir, _PARAMS))

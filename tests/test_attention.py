@@ -106,3 +106,29 @@ def test_pallas_inference_policy(monkeypatch):
     monkeypatch.delenv("DAVF_NO_PALLAS")
     monkeypatch.setattr(A, "_on_tpu", lambda: False)
     assert not A._pallas_for_inference(q, k, None)             # CPU
+
+
+def test_platform_dependent_fallback_on_cpu(monkeypatch):
+    """Policy says Pallas (mocked TPU backend) but the lowering platform is
+    CPU — the platform_dependent dispatch must fall back to the XLA branch
+    instead of failing in pallas_call's cpu lowering (the bug hit by
+    model.init under jax.default_device(cpu), NOTES.md r3)."""
+    import jax
+
+    from deepavfusion_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_on_tpu", lambda: True)  # policy believes TPU
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(1, 2, 228, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, 228, 32).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, 228, 32).astype(np.float32))
+    out = jax.jit(
+        lambda q, k, v: A.dot_product_attention(q, k, v, inference=True)
+    )(q, k, v)
+    want = A.xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+    # grads differentiate through the platform_dependent dispatch too
+    g = jax.jit(jax.grad(
+        lambda q: A.dot_product_attention(q, k, v, inference=True).sum()))(q)
+    assert np.isfinite(np.asarray(g)).all()
