@@ -195,3 +195,50 @@ def export_encoder(model, params, out_dir: str, batch: int,
         platforms=platforms,
         extra_meta={"task": "encoder"},
     )
+
+
+def export_segm(model, variables, out_dir: str, batch: int,
+                image_size: int = 224, audio_mels: int = 128,
+                audio_frames: int = 192,
+                platforms: Sequence[str] = DEFAULT_PLATFORMS) -> str:
+    """Export AVSegmSimple's eval forward: dense per-pixel mask logits at
+    the input resolution (eval_avsegm.py protocol). ``variables`` must carry
+    params AND batch_stats (the FPN's BatchNorms serve with running stats)."""
+
+    def infer(v, image, audio):
+        _, logits = model.apply(v, image, audio, train=False,
+                                deterministic=True)
+        return (jnp.asarray(logits, jnp.float32),)
+
+    img = np.zeros((batch, image_size, image_size, 3), np.float32)
+    aud = np.zeros((batch, audio_mels, audio_frames, 1), np.float32)
+    return export_fn(
+        infer, dict(variables), (img, aud), out_dir,
+        output_names=("mask_logits",),
+        platforms=platforms,
+        extra_meta={"task": "avsegm"},
+    )
+
+
+def export_srcsep(model, variables, out_dir: str, batch: int,
+                  image_size: int = 224, audio_mels: int = 128,
+                  audio_frames: int = 192,
+                  platforms: Sequence[str] = DEFAULT_PLATFORMS) -> str:
+    """Export AVSrcSep's eval forward: mel-domain separation-mask logits for
+    (source frame, mixture log-mel) pairs (eval_avsrcsep.py:240-241); the
+    host-side ISTFT stage (`eval_avsrcsep.separate_waveform`) consumes the
+    sigmoid of these."""
+
+    def infer(v, image, audio_mix):
+        _, logits_mask, _ = model.apply(
+            v, image, audio_mix, train=False, deterministic=True)
+        return (jnp.asarray(logits_mask, jnp.float32),)
+
+    img = np.zeros((batch, image_size, image_size, 3), np.float32)
+    aud = np.zeros((batch, audio_mels, audio_frames, 1), np.float32)
+    return export_fn(
+        infer, dict(variables), (img, aud), out_dir,
+        output_names=("mask_logits",),
+        platforms=platforms,
+        extra_meta={"task": "avsrcsep"},
+    )

@@ -14,6 +14,11 @@ platform-portable StableHLO + params bundle that serves with no model code.
     python export_bundle.py --config-name linprobe task=classifier \
         checkpoint=... bundle_dir=/tmp/cls nn_probe.num_classes=309
 
+    # dense heads: avsegm mask logits / avsrcsep separation-mask logits
+    # (head_checkpoint= restores a trained head incl. BatchNorm stats)
+    python export_bundle.py --config-name linprobe task=avsegm \
+        checkpoint=... head_checkpoint=... bundle_dir=/tmp/segm
+
 Uses the same config surface as eval_linprobe (model.*, data.*); the
 encoder checkpoint resolves exactly as there (checkpoint= or
 pretrain_job_name=).
@@ -74,8 +79,44 @@ def main_worker(args) -> str:
                 params = restored["state"]["params"]
             serve.export_classifier(model, params, out_dir, batch,
                                     image_size, mels, frames)
+        elif task in ("avsegm", "avsrcsep"):
+            # dense heads carry BatchNorm running stats: export the full
+            # variables dict from a trained head checkpoint (or init stats)
+            if task == "avsegm":
+                from deepavfusion_tpu.data import catalog
+                from deepavfusion_tpu.models.avsegm import AVSegmSimple
+
+                ncls = args.get("num_classes")
+                if ncls is None:
+                    ds = args.data.get("dataset")
+                    # binary masks for S4/MS3, 71-class for AVSS
+                    ncls = catalog.num_classes(ds) if ds == "avsbench-avss" else 1
+                model = AVSegmSimple(cfg, num_classes=int(ncls))
+            else:
+                from deepavfusion_tpu.models.avsrcsep import AVSrcSep
+
+                model = AVSrcSep(cfg)
+            variables = dict(model.init(jax.random.key(0), img0, aud0,
+                                        train=False))
+            params = dict(variables["params"])
+            params, loaded = load_encoder_checkpoint(params, args)
+            print(f"encoder checkpoint loaded: {loaded}")
+            variables["params"] = params
+            head_ckpt = args.get("head_checkpoint")
+            if head_ckpt:
+                from deepavfusion_tpu.serve import _load_params
+
+                restored = _load_params(str(head_ckpt))
+                variables["params"] = restored["state"]["params"]
+                ms = restored["state"].get("model_state", {})
+                if "batch_stats" in ms:
+                    variables["batch_stats"] = ms["batch_stats"]
+            export = (serve.export_segm if task == "avsegm"
+                      else serve.export_srcsep)
+            export(model, variables, out_dir, batch, image_size, mels, frames)
         else:
-            raise ValueError(f"unknown task {task!r} (encoder|classifier)")
+            raise ValueError(
+                f"unknown task {task!r} (encoder|classifier|avsegm|avsrcsep)")
     print(f"bundle written: {out_dir}")
     return out_dir
 

@@ -105,3 +105,65 @@ def test_export_bundle_cli(tmp_path):
     fi, fa, ff = infer(img, aud)
     assert fi.shape[0] == 2 and np.isfinite(np.asarray(ff)).all()
     assert infer.meta["task"] == "encoder"
+
+
+def test_segm_and_srcsep_bundle_roundtrips(tmp_path):
+    """Dense-head serving: AVSegm mask logits and AVSrcSep separation-mask
+    logits roundtrip through bundles, incl. BatchNorm running stats."""
+    from deepavfusion_tpu.models.avsegm import AVSegmSimple
+    from deepavfusion_tpu.models.avsrcsep import AVSrcSep
+
+    rng = np.random.RandomState(2)
+    img = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    aud = jnp.asarray(rng.randn(2, 16, 48, 1), jnp.float32)
+
+    segm = AVSegmSimple(tiny_cfg(), num_classes=1)
+    variables = segm.init(jax.random.key(0), img, aud, train=False)
+    serve.export_segm(segm, variables, str(tmp_path / "segm"), batch=2,
+                      image_size=32, audio_mels=16, audio_frames=48,
+                      platforms=("cpu",))
+    infer = serve.load_bundle(str(tmp_path / "segm"))
+    (got,) = infer(img, aud)
+    _, want = segm.apply(variables, img, aud, train=False, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    assert got.shape == (2, 1, 32, 32)
+
+    ss = AVSrcSep(tiny_cfg())
+    variables = ss.init(jax.random.key(1), img, aud, train=False)
+    serve.export_srcsep(ss, variables, str(tmp_path / "ss"), batch=2,
+                        image_size=32, audio_mels=16, audio_frames=48,
+                        platforms=("cpu",))
+    infer = serve.load_bundle(str(tmp_path / "ss"))
+    (got,) = infer(img, aud)
+    _, want, _ = ss.apply(variables, img, aud, train=False, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    assert infer.meta["task"] == "avsrcsep"
+
+
+def test_export_bundle_cli_avsegm(tmp_path):
+    """export_bundle.py task=avsegm builds a dense-mask bundle (binary head
+    by default) from the linprobe config surface."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import export_bundle
+    from deepavfusion_tpu.config import load_config
+
+    args = load_config("linprobe", overrides=[
+        "task=avsegm",
+        f"bundle_dir={tmp_path}/segm",
+        "bundle_batch=2",
+        "model.image.backbone=vit_small", "model.audio.backbone=vit_small",
+        "model.image.depth=2", "model.audio.depth=2",
+        "model.fusion.num_heads=6",
+        "data.image_size=32", "data.audio_mels=16", "data.audio_dur=0.75",
+        f"output_dir={tmp_path}",
+    ])
+    out = export_bundle.main_worker(args)
+    infer = serve.load_bundle(out)
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    aud = jnp.asarray(rng.randn(2, 16, 48, 1), jnp.float32)
+    (mask,) = infer(img, aud)
+    assert mask.shape == (2, 1, 32, 32)
+    assert infer.meta["task"] == "avsegm"
