@@ -67,20 +67,21 @@ def _pallas_for_inference(q, k, bias) -> bool:
             and k.shape[2] >= _PALLAS_INFERENCE_MIN_N and _on_tpu())
 
 
+_PALLAS_TRAIN_MIN_N = 192
+
+
 def _pallas_for_training(q, k, bias) -> bool:
-    """Experimental: route TRAINING attention at N >= DAVF_PALLAS_TRAIN_MIN_N
-    to the Pallas kernel (e.g. the 228-token MAE image decoder, where the
-    isolated fwd A/B favors Pallas 636 vs 808 us). Off unless the env knob
-    is set — the end-to-end effect is measured by
-    `DAVF_PALLAS_TRAIN_MIN_N=192 python bench.py` and recorded in NOTES."""
+    """Route TRAINING attention at N >= 192 to the Pallas kernel — ON by
+    default since the end-to-end A/B (v5e, B=64 ViT-B pretrain step): the
+    228-token MAE image decoder is the only training shape that qualifies,
+    and routing it measures 121.4 vs 125.0 ms/step (527 vs 512 clips/s/chip,
+    MFU 0.392 vs 0.380 — NOTES.md r3). DAVF_PALLAS_TRAIN_MIN_N overrides
+    the threshold; DAVF_NO_PALLAS_TRAIN=1 or DAVF_NO_PALLAS=1 disables."""
     import os
 
-    if os.environ.get("DAVF_NO_PALLAS"):
+    if os.environ.get("DAVF_NO_PALLAS") or os.environ.get("DAVF_NO_PALLAS_TRAIN"):
         return False
-    n = os.environ.get("DAVF_PALLAS_TRAIN_MIN_N")
-    if not n:
-        return False
-    n = int(n)
+    n = int(os.environ.get("DAVF_PALLAS_TRAIN_MIN_N", _PALLAS_TRAIN_MIN_N))
     return (bias is None and q.shape[2] >= n and k.shape[2] >= n and _on_tpu())
 
 

@@ -132,3 +132,24 @@ def test_platform_dependent_fallback_on_cpu(monkeypatch):
     g = jax.jit(jax.grad(
         lambda q: A.dot_product_attention(q, k, v, inference=True).sum()))(q)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_pallas_training_policy(monkeypatch):
+    """Training shapes at N >= 192 route to Pallas by default (end-to-end
+    measured win, NOTES.md r3); smaller training shapes stay XLA."""
+    from deepavfusion_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_on_tpu", lambda: True)
+    q = np.zeros((1, 2, 228, 32)); k = np.zeros((1, 2, 228, 32))
+    small_q = np.zeros((1, 2, 81, 32)); small_k = np.zeros((1, 2, 81, 32))
+    assert A._pallas_for_training(q, k, None)
+    assert not A._pallas_for_training(small_q, small_k, None)
+    assert not A._pallas_for_training(q, k, np.zeros(1))      # bias
+    monkeypatch.setenv("DAVF_PALLAS_TRAIN_MIN_N", "64")
+    assert A._pallas_for_training(small_q, small_k, None)     # threshold knob
+    monkeypatch.delenv("DAVF_PALLAS_TRAIN_MIN_N")
+    monkeypatch.setenv("DAVF_NO_PALLAS_TRAIN", "1")
+    assert not A._pallas_for_training(q, k, None)
+    monkeypatch.delenv("DAVF_NO_PALLAS_TRAIN")
+    monkeypatch.setattr(A, "_on_tpu", lambda: False)
+    assert not A._pallas_for_training(q, k, None)
