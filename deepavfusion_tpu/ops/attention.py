@@ -56,6 +56,19 @@ def _use_pallas_default() -> bool:
 # (enc_img_full 445 vs 649 us, joint_324 678 vs 1236 us — NOTES.md r3).
 # DAVF_NO_PALLAS=1 or DAVF_NO_PALLAS_INFER=1 disables the route.
 _PALLAS_INFERENCE_MIN_N = 192
+# The kernel holds one head's full (Nq, Nk) probability matrix (x3 in bwd)
+# in VMEM — it does not tile N (pointless at the framework's 51-324-token
+# shapes, SURVEY §5.7). Very long sequences (video joint attention,
+# ~1600 tokens at 16 frames) would blow the ~16 MB VMEM, so the route
+# falls back to XLA when even a single head's bwd working set exceeds this.
+_PALLAS_MAX_HEAD_BYTES = 10 * 1024 * 1024
+
+
+def _kernel_fits(q, k) -> bool:
+    nq, dh = q.shape[2], q.shape[3]
+    nk = k.shape[2]
+    bwd_per_head = 4 * (3 * nq * nk + 4 * (nq + nk) * dh + nq)
+    return bwd_per_head <= _PALLAS_MAX_HEAD_BYTES
 
 
 def _pallas_for_inference(q, k, bias) -> bool:
@@ -64,7 +77,8 @@ def _pallas_for_inference(q, k, bias) -> bool:
     if os.environ.get("DAVF_NO_PALLAS") or os.environ.get("DAVF_NO_PALLAS_INFER"):
         return False
     return (bias is None and q.shape[2] >= _PALLAS_INFERENCE_MIN_N
-            and k.shape[2] >= _PALLAS_INFERENCE_MIN_N and _on_tpu())
+            and k.shape[2] >= _PALLAS_INFERENCE_MIN_N
+            and _kernel_fits(q, k) and _on_tpu())
 
 
 _PALLAS_TRAIN_MIN_N = 192
@@ -82,7 +96,8 @@ def _pallas_for_training(q, k, bias) -> bool:
     if os.environ.get("DAVF_NO_PALLAS") or os.environ.get("DAVF_NO_PALLAS_TRAIN"):
         return False
     n = int(os.environ.get("DAVF_PALLAS_TRAIN_MIN_N", _PALLAS_TRAIN_MIN_N))
-    return (bias is None and q.shape[2] >= n and k.shape[2] >= n and _on_tpu())
+    return (bias is None and q.shape[2] >= n and k.shape[2] >= n
+            and _kernel_fits(q, k) and _on_tpu())
 
 
 def xla_attention(

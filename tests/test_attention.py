@@ -153,3 +153,18 @@ def test_pallas_training_policy(monkeypatch):
     monkeypatch.delenv("DAVF_NO_PALLAS_TRAIN")
     monkeypatch.setattr(A, "_on_tpu", lambda: False)
     assert not A._pallas_for_training(q, k, None)
+
+
+def test_pallas_route_vmem_feasibility_gate(monkeypatch):
+    """Very long sequences (video joint attention ~1600 tokens) exceed the
+    untiled kernel's VMEM working set — the route must fall back to XLA."""
+    from deepavfusion_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_on_tpu", lambda: True)
+    big_q = np.zeros((1, 12, 1600, 64)); big_k = np.zeros((1, 12, 1600, 64))
+    ok_q = np.zeros((1, 12, 324, 64)); ok_k = np.zeros((1, 12, 324, 64))
+    assert not A._kernel_fits(big_q, big_k)
+    assert A._kernel_fits(ok_q, ok_k)
+    assert not A._pallas_for_training(big_q, big_k, None)
+    assert not A._pallas_for_inference(big_q, big_k, None)
+    assert A._pallas_for_training(ok_q, ok_k, None)
