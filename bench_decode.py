@@ -121,10 +121,16 @@ def sustained_bench(fns, batches=16, workers=WORKERS):
     assert b["audio"].shape == (BATCH, 128, 192, 1)
     t0 = time.perf_counter()
     done = 0
-    for b in it:
-        done += 1
-        if done >= batches:
-            break
+    # loop epochs: one epoch of a small corpus yields fewer than `batches`
+    # batches (len(dataset)//BATCH), and a 1-batch measurement is noise
+    while done < batches:
+        for b in it:
+            done += 1
+            if done >= batches:
+                break
+        else:
+            it = iter(dl)   # next epoch
+            continue
     dt = time.perf_counter() - t0
     return BATCH * done / dt
 
