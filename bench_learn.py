@@ -122,8 +122,7 @@ def main():
         } | {"label": np.asarray(
             [labels_by_file[files[j]] for j in range(i, i + len(chunk))])})
 
-    encoder = trunk_mod.DeepAVFusion(cfg_dataclass := model.cfg.encoder,
-                                     dtype=jnp.bfloat16)
+    encoder = trunk_mod.DeepAVFusion(model.cfg.encoder, dtype=jnp.bfloat16)
 
     @jax.jit
     def encode(p, image, audio):
