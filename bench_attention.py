@@ -72,14 +72,20 @@ def time_chained(op, q, k, v, iters=400, grad=False):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_in_context(batch, interp):
-    """Full ViT block fwd (and fwd+bwd) with XLA vs Pallas attention inside."""
+def bench_in_context(batch, interp, n=228):
+    """Full ViT block fwd (and fwd+bwd) with XLA vs Pallas attention inside.
+
+    ``--n=1568`` measures the video joint-attention block (16-frame
+    video_vit_base) — the shape served by the v3 KV-tiled kernels. The
+    full-step in-context measurement for the video route is bench_video.py.
+    """
     import jax
     import jax.numpy as jnp
 
     from deepavfusion_tpu.models.layers import Block
 
-    n, d = 228, 768
+    d = 768
+    iters = 100 if n <= 512 else 20
     rows = {}
     for mode in ("xla", "pallas"):
         # the dispatch env is read at trace time (ops/attention.py), so
@@ -97,7 +103,7 @@ def bench_in_context(batch, interp):
             return blk.apply({"params": params}, xx, True)
 
         rows[f"{mode}_block_fwd_us"] = round(
-            time_chained(lambda q, k, v: fwd(q), x, None, None, iters=100) * 1e6, 1)
+            time_chained(lambda q, k, v: fwd(q), x, None, None, iters=iters) * 1e6, 1)
 
         def loss(xx):
             return fwd(xx).astype(jnp.float32).sum()
@@ -108,7 +114,7 @@ def bench_in_context(batch, interp):
             return q + 1e-6 * g(q).astype(q.dtype)
 
         rows[f"{mode}_block_bwd_us"] = round(
-            time_chained(gbody, x, None, None, iters=100) * 1e6, 1)
+            time_chained(gbody, x, None, None, iters=iters) * 1e6, 1)
     os.environ.pop("DAVF_PALLAS", None)
     os.environ.pop("DAVF_NO_PALLAS", None)
     rows["fwd_ratio_pallas_over_xla"] = round(
@@ -123,6 +129,13 @@ def main():
     fwd_only = "--fwd-only" in argv
     allow_cpu = "--allow-cpu" in argv
     in_context = "--in-context" in argv
+    only = None
+    ctx_n = 228
+    for a in argv:
+        if a.startswith("--only="):     # e.g. --only=video_joint_1568
+            only = a.split("=", 1)[1]
+        if a.startswith("--n="):        # in-context block sequence length
+            ctx_n = int(a.split("=", 1)[1])
     argv = [a for a in argv if not a.startswith("--")]
     batch = int(argv[0]) if argv else 64
 
@@ -146,13 +159,13 @@ def main():
     interp = backend != "tpu"   # CPU smoke runs the kernels in interpret mode
 
     if in_context:
-        rows = bench_in_context(batch, interp)
+        rows = bench_in_context(batch, interp, n=ctx_n)
         print(json.dumps({
             "metric": "in-context ViT block (xla vs pallas attention)",
             "value": rows["fwd_ratio_pallas_over_xla"],
             "unit": "pallas/xla block-fwd time ratio",
             "vs_baseline": 1.0,
-            "batch": batch, "backend": backend, **rows,
+            "batch": batch, "n": ctx_n, "backend": backend, **rows,
         }))
         return
 
@@ -171,20 +184,42 @@ def main():
         ("xattn_img_full", 12, 8, 196, 16, 64 ** -0.5),
         ("pair_attn", 12, 16, 64, 16, 64 ** -0.5),
         ("joint_324", 12, 324, 324, 64, None),
+        # video_vit_base joint space-time self-attn: 16 frames, tubelet
+        # (2,16,16) → 8·14·14 = 1568 tokens (models/video_vit.py; reference
+        # models/video_vits.py:135-138). Exercises the v3 KV-TILED kernels
+        # (the one-shot working set blows VMEM at this N). Benched at the
+        # avsync-scale batch (B//8) — the full video model runs batch 32.
+        ("video_joint_1568", 12, 1568, 1568, 64, None),
+        # 24-frame joint attention (reference models/video_vits.py:135-138:
+        # 12·14·14 = 2352 tokens) — rows alone exceed the KV-tiled budget,
+        # so this exercises the v4 Q+KV-TILED kernels (Q-block grid dim,
+        # dk/dv accumulated in VMEM scratch).
+        ("video_joint_2352", 12, 2352, 2352, 64, None),
     ]
+    SHAPE_BATCH = {"video_joint_1568": max(4, B // 8),
+                   "video_joint_2352": max(2, B // 16)}
+
+    if only:
+        SHAPES = [s for s in SHAPES if s[0] == only]
+        if not SHAPES:
+            print(f"bench_attention: no shape named {only!r}", file=sys.stderr)
+            sys.exit(1)
 
     rng = np.random.RandomState(0)
     rows = {}
     pallas_wins_fwd = pallas_wins_train = 0
     for name, h, nq, nk, dh, scale in SHAPES:
-        q = jnp.asarray(rng.randn(B, h, nq, dh), jnp.bfloat16)
-        k = jnp.asarray(rng.randn(B, h, nk, dh), jnp.bfloat16)
-        v = jnp.asarray(rng.randn(B, h, nk, dh), jnp.bfloat16)
+        b = SHAPE_BATCH.get(name, B)
+        q = jnp.asarray(rng.randn(b, h, nq, dh), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(b, h, nk, dh), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(b, h, nk, dh), jnp.bfloat16)
 
         xla_op = lambda q, k, v: attention.xla_attention(q, k, v, scale=scale)
         pal_op = lambda q, k, v: flash_attention(q, k, v, scale=scale, interpret=interp)
 
         row = {}
+        if b != B:
+            row["batch"] = b
         row["xla_fwd_us"] = round(time_chained(xla_op, q, k, v) * 1e6, 1)
         row["pallas_fwd_us"] = round(time_chained(pal_op, q, k, v) * 1e6, 1)
         pallas_wins_fwd += row["pallas_fwd_us"] < row["xla_fwd_us"]

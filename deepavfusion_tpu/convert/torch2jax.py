@@ -427,3 +427,50 @@ def unstack_trunk(scanned: dict, depth: int) -> dict:
         out["audio"][f"blocks_{i}"] = slice_layer(scanned["layers"]["blk_audio"], i)
         out[f"fusion_blocks_{i}"] = slice_layer(scanned["layers"]["blk_fusion"], i)
     return out
+
+
+def stack_video_trunk(unrolled: dict, depth: int) -> dict:
+    """VideoEarlyFusion unrolled params (video/blocks_i, audio/blocks_i,
+    fusion_blocks_i) → scan layout under 'layers/blk_{video,audio,fusion}'
+    (models/video_earlyfusion.py scan_layers)."""
+    import jax
+
+    def stacked(subtrees):
+        return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *subtrees)
+
+    return {
+        "video": {k: v for k, v in unrolled["video"].items()
+                  if not k.startswith("blocks_")},
+        "audio": {k: v for k, v in unrolled["audio"].items()
+                  if not k.startswith("blocks_")},
+        "fusion_tokens": unrolled["fusion_tokens"],
+        "fusion_norm": unrolled["fusion_norm"],
+        "layers": {
+            "blk_video": stacked([unrolled["video"][f"blocks_{i}"]
+                                  for i in range(depth)]),
+            "blk_audio": stacked([unrolled["audio"][f"blocks_{i}"]
+                                  for i in range(depth)]),
+            "blk_fusion": stacked([unrolled[f"fusion_blocks_{i}"]
+                                   for i in range(depth)]),
+        },
+    }
+
+
+def unstack_video_trunk(scanned: dict, depth: int) -> dict:
+    """Inverse of stack_video_trunk."""
+    import jax
+
+    def slice_layer(tree, d):
+        return jax.tree.map(lambda x: np.asarray(x)[d], tree)
+
+    out: dict[str, Any] = {
+        "video": dict(scanned["video"]),
+        "audio": dict(scanned["audio"]),
+        "fusion_tokens": scanned["fusion_tokens"],
+        "fusion_norm": scanned["fusion_norm"],
+    }
+    for i in range(depth):
+        out["video"][f"blocks_{i}"] = slice_layer(scanned["layers"]["blk_video"], i)
+        out["audio"][f"blocks_{i}"] = slice_layer(scanned["layers"]["blk_audio"], i)
+        out[f"fusion_blocks_{i}"] = slice_layer(scanned["layers"]["blk_fusion"], i)
+    return out

@@ -24,14 +24,17 @@ def _on_tpu() -> bool:
 def _use_pallas_default() -> bool:
     """Global Pallas override.
 
-    On-hardware A/B of kernel v2 (v5e, all 10 real shapes, fwd+bwd,
+    On-hardware A/B of kernel v2 (v5e, all 10 reference shapes, fwd+bwd,
     400-iteration single-dispatch chains — NOTES.md r3): XLA wins 14/20,
     all of them at small shapes sitting on the ~100 us dispatch floor, so
     XLA remains the *training* default (pretrain runs at visible-token
-    sizes 81/51). Pallas wins every N >= 192 shape — those route
-    automatically at inference (_pallas_for_inference). Set DAVF_PALLAS=1
-    to force the Pallas kernels everywhere, DAVF_NO_PALLAS=1 to force XLA
-    everywhere (disables the large-N inference fast path too).
+    sizes 81/51). Pallas wins every N >= 192 shape — including the v3
+    KV-tiled video joint-attention shape (1568 tokens: fwd 1078 vs 2841 us,
+    bwd 4135 vs 5769; in-context video block fwd 0.77x / bwd 0.59x of XLA)
+    — those route automatically for training AND inference at N >= 192.
+    Set DAVF_PALLAS=1 to force the Pallas kernels everywhere,
+    DAVF_NO_PALLAS=1 to force XLA everywhere (disables the N >= 192 routes
+    too).
     """
     import os
 
@@ -56,19 +59,39 @@ def _use_pallas_default() -> bool:
 # (enc_img_full 445 vs 649 us, joint_324 678 vs 1236 us — NOTES.md r3).
 # DAVF_NO_PALLAS=1 or DAVF_NO_PALLAS_INFER=1 disables the route.
 _PALLAS_INFERENCE_MIN_N = 192
-# The kernel holds one head's full (Nq, Nk) probability matrix (x3 in bwd)
-# in VMEM — it does not tile N (pointless at the framework's 51-324-token
-# shapes, SURVEY §5.7). Very long sequences (video joint attention,
-# ~1600 tokens at 16 frames) would blow the ~16 MB VMEM, so the route
-# falls back to XLA when even a single head's bwd working set exceeds this.
+# VMEM feasibility for the route. The one-shot kernels hold one head's full
+# (Nq, Nk) probability matrix (x3 in bwd) in VMEM — fine for the trunk's
+# 51-324-token shapes (SURVEY §5.7). Sequences past that (video joint
+# space-time attention: 1568 tokens at 16 frames, models/video_vit.py) go
+# through the v3 KV-TILED kernels (token ROWS + one logits chunk resident),
+# and rows past THAT (24-frame joint attention, 2352 tokens) through the v4
+# Q+KV-tiled kernels, which only keep K/V rows + f32 dk/dv accumulators
+# whole — feasible to ~16k tokens. XLA fallback only past that, or when Nq
+# has no usable block divisor (ops/pallas/flash_attention.py tier logic).
 _PALLAS_MAX_HEAD_BYTES = 10 * 1024 * 1024
 
 
 def _kernel_fits(q, k) -> bool:
     nq, dh = q.shape[2], q.shape[3]
     nk = k.shape[2]
-    bwd_per_head = 4 * (3 * nq * nk + 4 * (nq + nk) * dh + nq)
-    return bwd_per_head <= _PALLAS_MAX_HEAD_BYTES
+    one_shot_bwd = 4 * (3 * nq * nk + 4 * (nq + nk) * dh + nq)
+    if one_shot_bwd <= _PALLAS_MAX_HEAD_BYTES:
+        return True
+    # v3 KV-tiled bwd: rows (q/o/do/dq + k/v/dk/dv + lse/dcap) + 4 chunk
+    # temps at the minimum 128-wide chunk (ops/pallas/flash_attention.py).
+    v3_bwd = 4 * (5 * nq * dh + 5 * nk * dh + 2 * nq) + 4 * 4 * nq * 128
+    if v3_bwd <= _PALLAS_MAX_HEAD_BYTES:
+        return True
+    # v4 Q+KV-tiled bwd: K/V rows + f32 dk/dv accumulators resident (dhv
+    # assumed == dh — true for every self-attention; the fusion shapes with
+    # dhv > dh are all one-shot). Needs a usable divisor-of-Nq Q block.
+    from .pallas.flash_attention import _VMEM_BUDGET, _pick_bq
+
+    fixed = 4 * 4 * nk * dh
+    if fixed > _VMEM_BUDGET * 3 // 4:
+        return False
+    per_q_row = 4 * (5 * dh + 2) + 4 * 4 * 128
+    return _pick_bq(nq, per_q_row, _VMEM_BUDGET - fixed) >= 64
 
 
 def _pallas_for_inference(q, k, bias) -> bool:

@@ -87,7 +87,12 @@ def main_worker(args) -> dict:
                          args.model.fusion.num_aggr_audio_tkns),
         fusion_mlp_ratio=args.model.fusion.mlp_ratio,
         fusion_attn_ratio=args.model.fusion.attn_ratio,
+        drop_path=float(args.opt.drop_path or 0.0),
         remat=bool(args.model.get("remat", False)),
+        # scan-over-layers trunk: ~12x smaller XLA program, minutes off cold
+        # remote compiles (NOTES.md r3). Checkpoints translate between
+        # layouts (convert.torch2jax.{stack,unstack}_video_trunk).
+        scan_layers=bool(args.model.get("scan_layers", False)),
         fusion_num_heads=args.model.fusion.num_heads,
     )
     model = AVSyncClassifier(cfg, dtype=dtype)

@@ -156,15 +156,122 @@ def test_pallas_training_policy(monkeypatch):
 
 
 def test_pallas_route_vmem_feasibility_gate(monkeypatch):
-    """Very long sequences (video joint attention ~1600 tokens) exceed the
-    untiled kernel's VMEM working set — the route must fall back to XLA."""
+    """Every real shape maps to a kernel tier: one-shot (324), v3 KV-tiled
+    (1568 = 16-frame joint attention), v4 Q+KV-tiled (2352 = 24 frames).
+    Only sequences whose K/V rows alone approach the VMEM budget (~16k
+    tokens) fall back to XLA."""
     from deepavfusion_tpu.ops import attention as A
 
     monkeypatch.setattr(A, "_on_tpu", lambda: True)
-    big_q = np.zeros((1, 12, 1600, 64)); big_k = np.zeros((1, 12, 1600, 64))
+    vid_q = np.zeros((1, 12, 1568, 64)); vid_k = np.zeros((1, 12, 1568, 64))
+    vid24_q = np.zeros((1, 12, 2352, 64)); vid24_k = np.zeros((1, 12, 2352, 64))
+    huge_q = np.zeros((1, 12, 2 ** 14, 64)); huge_k = np.zeros((1, 12, 2 ** 14, 64))
     ok_q = np.zeros((1, 12, 324, 64)); ok_k = np.zeros((1, 12, 324, 64))
-    assert not A._kernel_fits(big_q, big_k)
-    assert A._kernel_fits(ok_q, ok_k)
-    assert not A._pallas_for_training(big_q, big_k, None)
-    assert not A._pallas_for_inference(big_q, big_k, None)
+    assert A._kernel_fits(ok_q, ok_k)                        # one-shot
+    assert A._kernel_fits(vid_q, vid_k)                      # v3 tiled
+    assert A._kernel_fits(vid24_q, vid24_k)                  # v4 q-tiled
+    assert not A._kernel_fits(huge_q, huge_k)                # K/V rows too big
+    assert A._pallas_for_training(vid_q, vid_k, None)
+    assert A._pallas_for_inference(vid_q, vid_k, None)
+    assert A._pallas_for_training(vid24_q, vid24_k, None)
+    assert not A._pallas_for_training(huge_q, huge_k, None)
     assert A._pallas_for_training(ok_q, ok_k, None)
+
+
+def _tiled_shapes_engage(q, k, v):
+    """Sanity helper: assert the (nq, nk) pair exceeds the one-shot budget so
+    the test actually exercises the tiled kernels."""
+    from deepavfusion_tpu.ops.pallas import flash_attention as F
+
+    nq, dh = q.shape[2], q.shape[3]
+    nk, dhv = k.shape[2], v.shape[3]
+    per_head = 4 * (nq * dh + nk * dh + nk * dhv + nq * dhv + 2 * nq * nk + nq)
+    assert per_head > F._VMEM_BUDGET
+
+
+def test_flash_attention_tiled_matches_xla():
+    """KV-tiled forward (online softmax, unaligned tail chunk) vs XLA."""
+    from deepavfusion_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(1, 2, 1000, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, 900, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, 900, 64).astype(np.float32))
+    _tiled_shapes_engage(q, k, v)
+    got = flash_attention(q, k, v, interpret=True)
+    want = attention.xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_attention_qtiled_matches_xla():
+    """v4 Q+KV-tiled forward (24-frame joint-attention scale, 2352 tokens:
+    rows alone exceed the KV-tiled budget, so the Q grid dim engages)."""
+    from deepavfusion_tpu.ops.pallas import flash_attention as F
+
+    rng = np.random.RandomState(9)
+    q = jnp.asarray(rng.randn(1, 2, 2352, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, 2352, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, 2352, 64).astype(np.float32))
+    # assert the shape really picks a bq < nq (the v4 tier)
+    kv_rows = 4 * (2352 * 64 * 2)
+    per_q_row = 4 * (64 + 2 * 64 + 3) + 4 * 2 * 128
+    assert F._pick_bq(2352, per_q_row, F._VMEM_BUDGET - kv_rows) < 2352
+    got = F.flash_attention(q, k, v, interpret=True)
+    want = attention.xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_attention_qtiled_gradient_matches_xla():
+    """v4 backward: dk/dv accumulated across Q-block grid steps in VMEM
+    scratch (zeroed at the first Q step, written back at the last)."""
+    import jax
+
+    from deepavfusion_tpu.ops.pallas import flash_attention as F
+
+    rng = np.random.RandomState(10)
+    q = jnp.asarray(rng.randn(1, 1, 2352, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 1, 2352, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 1, 2352, 64).astype(np.float32))
+    # the bwd tier check: past the v3 ceiling → the q-tiled kernel runs
+    v3_rows = 4 * (2 * (2352 * 64 + 2352 * 64) + 3 * 2352 * 64
+                   + 2352 * 64 + 2 * 2352)
+    assert v3_rows + 4 * 4 * 2352 * 128 > F._VMEM_BUDGET_TILED_BWD
+
+    def loss_pallas(q, k, v):
+        return (F.flash_attention(q, k, v, interpret=True) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        return (attention.xla_attention(q, k, v) ** 2).sum()
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3,
+            err_msg="q-tiled VJP disagrees with XLA autodiff")
+
+
+def test_flash_attention_tiled_gradient_matches_xla():
+    """The tiled backward's per-chunk dq/dk/dv accumulation vs XLA autodiff."""
+    import jax
+
+    from deepavfusion_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.RandomState(8)
+    q = jnp.asarray(rng.randn(1, 1, 1000, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 1, 900, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 1, 900, 64).astype(np.float32))
+    _tiled_shapes_engage(q, k, v)
+
+    def loss_pallas(q, k, v):
+        return (flash_attention(q, k, v, interpret=True) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        return (attention.xla_attention(q, k, v) ** 2).sum()
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3,
+            err_msg="tiled VJP disagrees with XLA autodiff")

@@ -107,6 +107,20 @@ def test_avsync_entry(tmp_path):
 
 
 @slow
+def test_avsync_entry_scan_layers(tmp_path):
+    """The scan-over-layers video trunk through the full entry (train step +
+    eval + checkpoint save) — the compile-size-friendly layout for remote
+    XLA compile services (models/video_earlyfusion.py scan_layers)."""
+    stats = run_entry(
+        "eval_avsync", "avsync", tmp_path,
+        extra=["model.video.backbone=video_vit_small", "model.video.depth=2",
+               "model.scan_layers=true",
+               "data.num_frames=4", "data.crop_size=32"],
+    )
+    assert "val_sync_acc" in stats
+
+
+@slow
 def test_pretrain_entry(tmp_path):
     import importlib
 

@@ -54,6 +54,50 @@ def test_video_early_fusion_forward():
     assert xf.shape == (2, 8, 48)
 
 
+def test_video_early_fusion_scan_matches_unrolled():
+    """scan_layers video trunk with stacked params == unrolled trunk
+    (forward + per-layer embs), and the layout converters round-trip —
+    same contract as DeepAVFusion's scan trunk (test_convert_parity.py)."""
+    from deepavfusion_tpu.convert import torch2jax as cvt
+
+    cfg = vef.VideoEarlyFusionConfig(
+        video=small_video_cfg(),
+        audio=vit_config("vit_small", (16, 48), 1, depth=2, embed_dim=48, num_heads=4),
+        num_fusion_tkns=(4, 2, 2),
+        fusion_mlp_ratio=1.0,
+        fusion_num_heads=4,
+    )
+    m0 = vef.VideoEarlyFusion(cfg)
+    m1 = vef.VideoEarlyFusion(dataclasses.replace(cfg, scan_layers=True))
+
+    video = jax.random.normal(jax.random.key(0), (2, 4, 32, 32, 3))
+    audio = jax.random.normal(jax.random.key(1), (2, 16, 48, 1))
+    p0 = m0.init(jax.random.key(2), video, audio)["params"]
+    p1 = cvt.stack_video_trunk(jax.tree.map(np.asarray, p0), depth=2)
+
+    # structural check vs a fresh scan init
+    ref = m1.init(jax.random.key(3), video, audio)["params"]
+    cvt.assert_tree_matches(p1, jax.tree.map(np.shape, ref))
+
+    y0 = m0.apply({"params": p0}, video, audio, return_embs=True)
+    y1 = m1.apply({"params": p1}, video, audio, return_embs=True)
+    for a, b in zip(y0[:3], y1[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for (av, aa, af), (bv, ba, bf) in zip(y0[3], y1[3]):
+        np.testing.assert_allclose(np.asarray(av), np.asarray(bv), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(aa), np.asarray(ba), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(af), np.asarray(bf), atol=1e-5)
+
+    # roundtrip
+    back = cvt.unstack_video_trunk(p1, depth=2)
+    for (ka, va), (kb, vb) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(jax.tree.map(np.asarray, p0)),
+               key=lambda kv: str(kv[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(back), key=lambda kv: str(kv[0])),
+    ):
+        np.testing.assert_array_equal(va, vb)
+
+
 def test_video_efav_arch_table():
     cfg = vef.video_efav_config("video_efav_base", (16, 224, 224), (128, 192))
     assert cfg.num_fusion_tkns == (16, 8, 8)
