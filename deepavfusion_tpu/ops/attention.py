@@ -61,13 +61,12 @@ def _use_pallas_default() -> bool:
 _PALLAS_INFERENCE_MIN_N = 192
 # VMEM feasibility for the route. The one-shot kernels hold one head's full
 # (Nq, Nk) probability matrix (x3 in bwd) in VMEM — fine for the trunk's
-# 51-324-token shapes (SURVEY §5.7). Sequences past that (video joint
-# space-time attention: 1568 tokens at 16 frames, models/video_vit.py) go
-# through the v3 KV-TILED kernels (token ROWS + one logits chunk resident),
-# and rows past THAT (24-frame joint attention, 2352 tokens) through the v4
-# Q+KV-tiled kernels, which only keep K/V rows + f32 dk/dv accumulators
-# whole — feasible to ~16k tokens. XLA fallback only past that, or when Nq
-# has no usable block divisor (ops/pallas/flash_attention.py tier logic).
+# 51-324-token shapes (SURVEY §5.7). Longer sequences (video joint
+# space-time attention: 1568-1600 tokens at 16 frames, 2352 at 24 frames)
+# go through the tiled online-softmax kernels when their *padded* working
+# set fits (ops/pallas/flash_attention.tiled_fits — the single source of
+# truth, shared with the kernel's own plan selection). XLA fallback past
+# that (~16k tokens at Dh=64, or shapes with no usable Q-block divisor).
 _PALLAS_MAX_HEAD_BYTES = 10 * 1024 * 1024
 
 
@@ -77,21 +76,13 @@ def _kernel_fits(q, k) -> bool:
     one_shot_bwd = 4 * (3 * nq * nk + 4 * (nq + nk) * dh + nq)
     if one_shot_bwd <= _PALLAS_MAX_HEAD_BYTES:
         return True
-    # v3 KV-tiled bwd: rows (q/o/do/dq + k/v/dk/dv + lse/dcap) + 4 chunk
-    # temps at the minimum 128-wide chunk (ops/pallas/flash_attention.py).
-    v3_bwd = 4 * (5 * nq * dh + 5 * nk * dh + 2 * nq) + 4 * 4 * nq * 128
-    if v3_bwd <= _PALLAS_MAX_HEAD_BYTES:
-        return True
-    # v4 Q+KV-tiled bwd: K/V rows + f32 dk/dv accumulators resident (dhv
-    # assumed == dh — true for every self-attention; the fusion shapes with
-    # dhv > dh are all one-shot). Needs a usable divisor-of-Nq Q block.
-    from .pallas.flash_attention import _VMEM_BUDGET, _pick_bq
+    # dhv assumed == dh — true for every self-attention; the fusion shapes
+    # with dhv > dh are all one-shot.
+    from .pallas.flash_attention import tiled_fits
 
-    fixed = 4 * 4 * nk * dh
-    if fixed > _VMEM_BUDGET * 3 // 4:
-        return False
-    per_q_row = 4 * (5 * dh + 2) + 4 * 4 * 128
-    return _pick_bq(nq, per_q_row, _VMEM_BUDGET - fixed) >= 64
+    import jax.numpy as jnp
+
+    return tiled_fits(nq, nk, dh, dh, jnp.dtype(q.dtype).itemsize)
 
 
 def _pallas_for_inference(q, k, bias) -> bool:

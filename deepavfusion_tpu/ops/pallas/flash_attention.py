@@ -20,37 +20,50 @@ v2 design (round-3; the v1 kernel lost its own A/B, VERDICT r2 weak #1):
     grid step per (batch*head) — 768 tiny launches at B=64/H=12 whose fixed
     cost dominated every small shape (pair_attn 933 us vs 112 us XLA).
     HG is the largest head count whose working set fits a VMEM budget.
-  * lse is carried as (B, H, Nq, 1) so the backward's broadcast against the
-    (HG, Nq, Nk) logits is a free lane-broadcast (v1 stored a 128-lane
-    replicated copy — more HBM traffic, and a relayout in bwd).
+  * lse is carried as a rank-3 (B, H, Nq) row (see the v3 notes below —
+    a (B, H, Nq, 1) column would be lane-padded 128x in HBM by the TPU
+    (8,128) tiling; v1 stored exactly such a replicated copy).
 
 pallas_call does not support reverse-mode autodiff, so training goes through
 an explicit custom_vjp (the standard flash-attention backward): the forward
 kernel also emits the per-row logsumexp; the backward kernel recomputes the
 probabilities from (q, k, lse) and produces dq/dk/dv in one fused pass.
 
-v3 adds a KV-TILED variant (online softmax) for sequences whose full
+v3 adds a TILED variant (online softmax) for sequences whose full
 (Nq, Nk) probability matrix no longer fits the VMEM budget — the video
 models' joint space-time attention (video_vit.py joint_all: 16 frames →
-8·14·14 = 1568 tokens; reference models/video_vits.py:49-60). Token rows
-(q/k/v/o) are small even at thousands of tokens, so they stay resident in
-VMEM; only the logits are computed in static KV chunks via an unrolled
-chunk loop, with the classic (m, l, acc) running-max rescale in fwd and
-per-chunk dq/dk/dv accumulation in bwd. The one-shot kernels are kept
-verbatim for every shape they already won on the A/B (NOTES.md r3); the
-tiled path engages only where the one-shot working set would blow VMEM.
+8·14·14 = 1568 tokens, 1600 with the fusion-token prefix; reference
+models/video_vits.py:49-60). The grid gains an (innermost, sequential)
+third dimension over Q-row blocks; K/V rows stay whole in VMEM and are
+revisited across Q steps (constant index map — no reload), logits are
+computed in KV chunks via a lax.fori_loop with the classic (m, l, acc)
+running-max rescale in fwd (fori_loop, not an unrolled Python loop: Mosaic
+gives unrolled iterations overlapping stack liveness — the unrolled
+12-chunk forward at 1568 tokens allocated 18.7 MB of stack against a
+9.4 MB single-chunk working set and blew the scoped-VMEM cap on hardware).
+The backward runs the same loop per Q block with dq accumulated in
+registers and dk/dv accumulated in f32 VMEM scratch across Q steps (zeroed
+at the first Q step, written back once per (batch, head) — legal because
+the TPU grid is sequential).
 
-v4 adds Q-TILING on top: a third grid dimension over Q-row blocks, so
-sequences whose q/o/do/dq rows alone approach the VMEM budget (24-frame
-joint space-time attention: 12·14·14 = 2352 tokens, reference
-models/video_vits.py:135-138 — previously an XLA fallback) run the same
-online-softmax loop per Q block. K/V rows stay whole in VMEM (cheap to
-~16k tokens); in the backward the Q-block grid dim is INNERMOST and the
-dk/dv block index maps ignore it, so Mosaic keeps the dk/dv accumulators
-VMEM-resident across Q steps (the TPU grid is sequential) — zeroed at the
-first Q step, written back once per (batch, head). With the three tiers
-(one-shot / KV-tiled / Q+KV-tiled) every static shape up to ~16k tokens
-maps to a fused kernel; selection is purely by working-set arithmetic.
+Plan selection is exact working-set arithmetic under the TPU tiling rules
+(``_vbytes``: lanes pad to 128, so a Dh=64 buffer costs 2x its logical
+bytes and an (N, 1) stats column costs 128x — the r3 lesson: unpadded
+arithmetic OK'd a 1600-token plan whose true footprint was 19.4 MB against
+the 16 MB scoped-VMEM limit). The largest divisor-of-Nq Q block and the
+largest KV chunk whose *padded* total fits ``_TILED_BUDGET`` win; the
+one-shot kernels are kept verbatim for every shape they already won on the
+A/B (NOTES.md r3).
+
+The per-row logsumexp is carried as (B, H, 1, Nq) — N in the LANE dim with
+a singleton sublane: the natural (B, H, Nq, 1) column would be lane-padded
+128x by the TPU (8,128) tiling (314 MB of HBM, and two DMA passes of it,
+for the batch-32 video shape; 20 MB as a lane row). The lane layout also
+makes lane-position bq blocks legal whenever bq is a 128-multiple, which
+frees the Q-block size from the divisor-of-Nq constraint: blocks are
+128-multiples with a masked ragged tail (the backward zeroes tail rows of
+p/ds/q/do before the dk/dv contractions, which sum over Q rows — forward
+rows are independent, so only the automatic masked write is needed there).
 
 Replaces the reference's reliance on cuDNN/ATen attention matmuls
 (reference: models/fusion_blocks.py:18-59 q@kᵀ → softmax → @v chains).
@@ -64,15 +77,110 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Per-grid-step VMEM working-set budget. Physical VMEM is ~16 MB; Mosaic
+# Per-grid-step working-set budget for the ONE-SHOT kernels' head-group
+# packing, in *unpadded* f32 bytes. Physical VMEM is ~16 MB; Mosaic
 # double-buffers the in/out blocks across grid steps, so stay well under.
+# (Deliberately kept as the A/B-validated unpadded arithmetic — the head
+# groups it picks are measured-good; see _vbytes for the padded math the
+# tiled tier uses.)
 _VMEM_BUDGET = 5 * 1024 * 1024
-# Looser ceiling for the v3 KV-tiled BACKWARD's total working set (rows +
-# min-chunk temps): its single-Q-step grid keeps block double-buffering
-# small, and the 1568-token shape (~6.4 MB) measured faster on v3 than the
-# general Q-tiled path would predict. Past this, the v4 Q+KV-tiled kernel
-# takes over (2352 tokens: ~9.6 MB would risk the physical limit).
-_VMEM_BUDGET_TILED_BWD = 8 * 1024 * 1024
+# Ceiling for the tiled tier's *padded* working-set estimate (_vbytes
+# terms, incl. double-buffered in/out blocks and every f32 temp). With the
+# fori_loop chunk loop (one chunk's temps live at a time) the estimate
+# tracks Mosaic's stack allocation closely, but the allocator still adds
+# overhead the arithmetic can't see — so plan to 10 MiB and raise the
+# Mosaic scoped-VMEM cap for the tiled calls (below) as the safety margin.
+_TILED_BUDGET = 10 * 1024 * 1024
+# Mosaic scoped-VMEM cap for the TILED calls (default 16 MiB; v5e physical
+# VMEM is 128 MiB). 64 MiB gives the stack allocator ~6x headroom over the
+# planner's budget while leaving half the physical VMEM for Mosaic's block
+# double-buffering. The one-shot kernels keep the default cap they were
+# A/B-validated under.
+_TILED_VMEM_LIMIT = 64 * 1024 * 1024
+# KV chunk widths the planner tries, largest first (multiples of the 128
+# lane tile; wider chunks mean fewer, larger MXU ops).
+_BK_CANDIDATES = (512, 256, 128)
+
+
+def _vbytes(rows: int, cols: int, itemsize: int = 4) -> int:
+    """VMEM bytes of a (rows, cols) buffer under TPU tiling: the lane
+    (minor) dim pads to 128, the sublane dim to 8 (f32) / 16 (bf16)."""
+    lanes = -(-cols // 128) * 128
+    sub = 8 if itemsize >= 4 else 16
+    return (-(-rows // sub) * sub) * lanes * itemsize
+
+
+def _bq_candidates(nq: int):
+    """Q-block sizes, largest first: the whole-Nq block (always a legal
+    Mosaic block — equal to the array dim — and needs no tail masking),
+    then descending 128-multiples (legal in the lane-position lse block;
+    ragged tails are masked)."""
+    out = [nq]
+    out.extend(k * 128 for k in range(nq // 128, 0, -1) if k * 128 != nq)
+    return out
+
+
+def _plan_fwd_tiled(nq, nk, dh, dhv, itemsize, budget=_TILED_BUDGET):
+    """(bq, bk) for the tiled forward, or None if nothing fits ``budget``.
+
+    Sums every VMEM buffer of one grid step in padded (_vbytes) terms:
+    double-buffered in/out blocks, the f32 casts, the (bq, 1) softmax
+    stats (128-lane padded!), and the (bq, bk) chunk temps.
+    """
+    item = min(itemsize, 4)
+    kv = 2 * (_vbytes(nk, dh, item) + _vbytes(nk, dhv, item))
+    for bq in _bq_candidates(nq):
+        fixed = (kv
+                 + 2 * _vbytes(bq, dh, item)       # q in (double-buffered)
+                 + 2 * _vbytes(bq, dhv, item)      # o out
+                 + 2 * _vbytes(1, bq, 4)           # lse out (lane row)
+                 + _vbytes(bq, dh, 4)              # q f32 cast
+                 + _vbytes(bq, dhv, 4)             # acc
+                 + 4 * _vbytes(bq, 1, 4))          # m_i/l_i/m_new/alpha
+        for bk in _BK_CANDIDATES:
+            total = (fixed + _vbytes(bk, dh, 4) + _vbytes(bk, dhv, 4)
+                     + 2 * _vbytes(bq, bk, 4))     # s, p
+            if total <= budget:
+                return bq, bk
+    return None
+
+
+def _plan_bwd_tiled(nq, nk, dh, dhv, itemsize, budget=_TILED_BUDGET):
+    """(bq, bk) for the Q-tiled backward, or None if nothing fits."""
+    item = min(itemsize, 4)
+    fixed0 = (2 * (_vbytes(nk, dh, item) + _vbytes(nk, dhv, item))   # k/v in
+              + _vbytes(nk, dh, 4) + _vbytes(nk, dhv, 4)             # scratch
+              + 2 * (_vbytes(nk, dh, item) + _vbytes(nk, dhv, item)))  # dk/dv
+    for bq in _bq_candidates(nq):
+        fixed = (fixed0
+                 + 2 * _vbytes(bq, dh, item)                       # dq out
+                 + 2 * (_vbytes(bq, dh, item) + 2 * _vbytes(bq, dhv, item))
+                 + 2 * _vbytes(1, bq, 4)                           # lse in
+                 + _vbytes(bq, dh, 4) + 2 * _vbytes(bq, dhv, 4)    # f32 casts
+                 + _vbytes(bq, 1, 4)                               # dcap
+                 + _vbytes(bq, dh, 4))                             # dq acc
+        for bk in _BK_CANDIDATES:
+            # s,p,dp,ds chunk temps + one s-sized term for the tail mask
+            total = (fixed + _vbytes(bk, dh, 4) + _vbytes(bk, dhv, 4)
+                     + 5 * _vbytes(bq, bk, 4))
+            if total <= budget:
+                return bq, bk
+    return None
+
+
+def _min_plan(nq: int):
+    """Best-effort fallback when no plan fits the budget: the smallest
+    usable Q block. Only reachable by direct flash_attention() calls on
+    shapes the dispatch layer (ops/attention.tiled_fits) already refuses
+    to route — keeps interpret-mode tests runnable on any shape."""
+    return (128, 128) if nq > 128 else (nq, 128)
+
+
+def tiled_fits(nq: int, nk: int, dh: int, dhv: int, itemsize: int) -> bool:
+    """True iff BOTH tiled directions have an in-budget plan — the single
+    source of truth for ops/attention's routing feasibility gate."""
+    return (_plan_fwd_tiled(nq, nk, dh, dhv, itemsize) is not None
+            and _plan_bwd_tiled(nq, nk, dh, dhv, itemsize) is not None)
 
 
 def _head_group(h: int, per_head_bytes: int) -> int:
@@ -109,7 +217,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
         p, v, _PV_DNUMS, preferred_element_type=jnp.float32
     ) / denom
     o_ref[0] = out.astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(denom)                         # (HG, Nq, 1)
+    lse_ref[0] = jnp.swapaxes(m + jnp.log(denom), -1, -2)   # (HG, 1, Nq)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
@@ -119,7 +227,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     o = o_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]                                        # (HG, Nq, 1)
+    lse = jnp.swapaxes(lse_ref[0], -1, -2)                  # (HG, Nq, 1)
     do = do_ref[0].astype(jnp.float32)
 
     logits = jax.lax.dot_general(
@@ -150,91 +258,68 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
 
 
 # --------------------------------------------------------------------------- #
-# KV-tiled kernels (v3) — online softmax over static KV chunks
+# Tiled kernels — online softmax over KV chunks, Q-row-block grid
+#
+# The chunk loop is a lax.fori_loop, NOT an unrolled Python loop: Mosaic
+# allocates unrolled iterations' temporaries with overlapping stack
+# liveness, so a 12-chunk unrolled forward at 1568 tokens compiled to an
+# 18.7 MB stack (vs the 9.4 MB single-chunk working-set estimate) and blew
+# the 16 MB scoped-VMEM limit — measured on the v5e, r3. A fori_loop body
+# bounds live temps to ONE chunk regardless of chunk count. The ragged
+# tail chunk (nk % bk) runs once, statically, after the loop.
 # --------------------------------------------------------------------------- #
-def _kv_chunks(nk: int, bk: int):
-    """Static (start, size) chunk list; the tail chunk is simply smaller
-    (every slice is trace-time static — no masking, works in interpret)."""
-    return [(s, min(bk, nk - s)) for s in range(0, nk, bk)]
-
-
 def _fwd_kernel_tiled(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                       bk: int):
-    """Online-softmax forward: full token rows in VMEM, logits in KV chunks."""
-    q = q_ref[0].astype(jnp.float32)                        # (HG, Nq, Dh)
-    hg, nq, _ = q.shape
+    """Online-softmax forward: one Q-row block resident, logits in KV chunks."""
+    q = q_ref[0].astype(jnp.float32)                        # (HG, bq, Dh)
+    hg, bq, _ = q.shape
     dhv = v_ref.shape[-1]
     nk = k_ref.shape[2]
 
-    m_i = jnp.full((hg, nq, 1), -jnp.inf, jnp.float32)
-    l_i = jnp.zeros((hg, nq, 1), jnp.float32)
-    acc = jnp.zeros((hg, nq, dhv), jnp.float32)
-    for start, size in _kv_chunks(nk, bk):
-        k = k_ref[0, :, start:start + size, :].astype(jnp.float32)
-        v = v_ref[0, :, start:start + size, :].astype(jnp.float32)
+    def chunk(k, v, m_i, l_i, acc):
         s = jax.lax.dot_general(
             q, k, _BATCH_DNUMS, preferred_element_type=jnp.float32
-        ) * scale                                           # (HG, Nq, size)
+        ) * scale                                           # (HG, bq, size)
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_i - m_new)
-        l_i = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        a_new = acc * alpha + jax.lax.dot_general(
             p, v, _PV_DNUMS, preferred_element_type=jnp.float32
         )
-        m_i = m_new
+        return m_new, l_new, a_new
+
+    def body(i, carry):
+        k = k_ref[0, :, pl.ds(i * bk, bk), :].astype(jnp.float32)
+        v = v_ref[0, :, pl.ds(i * bk, bk), :].astype(jnp.float32)
+        return chunk(k, v, *carry)
+
+    init = (jnp.full((hg, bq, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((hg, bq, 1), jnp.float32),
+            jnp.zeros((hg, bq, dhv), jnp.float32))
+    m_i, l_i, acc = jax.lax.fori_loop(0, nk // bk, body, init)
+    if nk % bk:                                             # static tail
+        m_i, l_i, acc = chunk(
+            k_ref[0, :, nk - nk % bk:, :].astype(jnp.float32),
+            v_ref[0, :, nk - nk % bk:, :].astype(jnp.float32),
+            m_i, l_i, acc)
     o_ref[0] = (acc / l_i).astype(o_ref.dtype)
-    lse_ref[0] = m_i + jnp.log(l_i)
-
-
-def _bwd_kernel_tiled(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
-                      dq_ref, dk_ref, dv_ref, *, scale: float, bk: int):
-    """Fused dq/dk/dv with the probabilities recomputed per KV chunk."""
-    q = q_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]                                        # (HG, Nq, 1)
-    do = do_ref[0].astype(jnp.float32)
-    hg, nq, dh = q.shape
-    nk = k_ref.shape[2]
-
-    dcap = jnp.sum(do * o, axis=-1, keepdims=True)          # (HG, Nq, 1)
-    dq = jnp.zeros((hg, nq, dh), jnp.float32)
-    for start, size in _kv_chunks(nk, bk):
-        k = k_ref[0, :, start:start + size, :].astype(jnp.float32)
-        v = v_ref[0, :, start:start + size, :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, _BATCH_DNUMS, preferred_element_type=jnp.float32
-        ) * scale
-        p = jnp.exp(s - lse)                                # (HG, Nq, size)
-        dv_ref[0, :, start:start + size, :] = jax.lax.dot_general(
-            p, do, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(dv_ref.dtype)
-        dp = jax.lax.dot_general(
-            do, v, _BATCH_DNUMS, preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - dcap)
-        dq = dq + jax.lax.dot_general(
-            ds, k, _PV_DNUMS, preferred_element_type=jnp.float32
-        ) * scale
-        dk_ref[0, :, start:start + size, :] = (jax.lax.dot_general(
-            ds, q, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale).astype(dk_ref.dtype)
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+    lse_ref[0] = jnp.swapaxes(m_i + jnp.log(l_i), -1, -2)   # (HG, 1, bq)
 
 
 def _bwd_kernel_qtiled(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
                        dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
-                       scale: float, bk: int, nqb: int):
-    """v4 backward: one Q-row block per grid step, dk/dv accumulated in f32
-    VMEM scratch across the (innermost, sequential) Q grid dimension.
+                       scale: float, bk: int, nqb: int, nq_total: int):
+    """Tiled backward: one Q-row block per grid step, dk/dv accumulated in
+    f32 VMEM scratch across the (innermost, sequential) Q grid dimension.
 
     The dk/dv output block index maps ignore the Q index, so Mosaic keeps
     one buffer resident and writes back once per (batch, head-group); the
-    scratch accumulators likewise persist across Q steps. The Q block size
-    always divides Nq (``_pick_bq``) — no padded garbage rows can leak into
-    the dk/dv contractions (which contract OVER the q-row dim).
+    scratch accumulators likewise persist across Q steps. When the Q block
+    does not divide Nq, the last step's out-of-bounds rows carry undefined
+    data — they are zeroed in q/do/p before the dk/dv contractions (which
+    sum OVER the q-row dim; explicit selects also stop a possible NaN/Inf
+    in the garbage rows from poisoning the sums via 0*inf).
     """
     qi = pl.program_id(2)
 
@@ -245,21 +330,33 @@ def _bwd_kernel_qtiled(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
 
     q = q_ref[0].astype(jnp.float32)                        # (HG, bq, Dh)
     o = o_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]                                        # (HG, bq, 1)
+    lse = jnp.swapaxes(lse_ref[0], -1, -2)                  # (HG, bq, 1)
     do = do_ref[0].astype(jnp.float32)
     hg, bq, dh = q.shape
     nk = k_ref.shape[2]
 
+    if nq_total % bq:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (hg, bq, 1), 1)
+        valid = rows < (nq_total - qi * bq)                 # (HG, bq, 1)
+        q = jnp.where(valid, q, 0.0)
+        do = jnp.where(valid, do, 0.0)
+        # o feeds dcap = sum(do*o): a NaN in a garbage row would survive
+        # the do=0 mask (0*NaN) and then poison ds = p*(dp-dcap) the same
+        # way — so o must be zeroed too, not just do.
+        o = jnp.where(valid, o, 0.0)
+        # a garbage lse could make exp(s - lse) overflow in dead rows
+        lse = jnp.where(valid, lse, jnp.inf)
+
     dcap = jnp.sum(do * o, axis=-1, keepdims=True)          # (HG, bq, 1)
-    dq = jnp.zeros((hg, bq, dh), jnp.float32)
-    for start, size in _kv_chunks(nk, bk):
-        k = k_ref[0, :, start:start + size, :].astype(jnp.float32)
-        v = v_ref[0, :, start:start + size, :].astype(jnp.float32)
+
+    def chunk(k, v, dq):
+        """One KV chunk: dq contribution returned, dk/dv chunks returned
+        for the caller to accumulate into scratch at the right offset."""
         s = jax.lax.dot_general(
             q, k, _BATCH_DNUMS, preferred_element_type=jnp.float32
         ) * scale
         p = jnp.exp(s - lse)                                # (HG, bq, size)
-        dv_acc[:, start:start + size, :] += jax.lax.dot_general(
+        dvc = jax.lax.dot_general(
             p, do, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
@@ -270,38 +367,34 @@ def _bwd_kernel_qtiled(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
         dq = dq + jax.lax.dot_general(
             ds, k, _PV_DNUMS, preferred_element_type=jnp.float32
         ) * scale
-        dk_acc[:, start:start + size, :] += jax.lax.dot_general(
+        dkc = jax.lax.dot_general(
             ds, q, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
+        return dq, dkc, dvc
+
+    def body(i, dq):
+        sl = pl.ds(i * bk, bk)
+        dq, dkc, dvc = chunk(k_ref[0, :, sl, :].astype(jnp.float32),
+                             v_ref[0, :, sl, :].astype(jnp.float32), dq)
+        dk_acc[:, sl, :] += dkc
+        dv_acc[:, sl, :] += dvc
+        return dq
+
+    dq = jax.lax.fori_loop(0, nk // bk, body,
+                           jnp.zeros((hg, bq, dh), jnp.float32))
+    if nk % bk:                                             # static tail
+        t0 = nk - nk % bk
+        dq, dkc, dvc = chunk(k_ref[0, :, t0:, :].astype(jnp.float32),
+                             v_ref[0, :, t0:, :].astype(jnp.float32), dq)
+        dk_acc[:, t0:, :] += dkc
+        dv_acc[:, t0:, :] += dvc
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
     @pl.when(qi == nqb - 1)
     def _writeback():
         dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
-
-
-def _pick_bk(nq: int, budget: int, n_temps: int) -> int:
-    """Largest 128-multiple chunk whose (HG=1) chunk temps fit the budget."""
-    bk = budget // max(4 * nq * n_temps, 1)
-    return max((bk // 128) * 128, 128)
-
-
-def _pick_bq(nq: int, per_row_bytes: int, budget: int) -> int:
-    """Largest divisor of nq whose Q-block rows fit the budget.
-
-    A DIVISOR (not a 128-multiple with a masked tail) because the backward
-    contracts over q rows — padded garbage rows would leak into dk/dv.
-    """
-    cap = max(budget // max(per_row_bytes, 1), 1)
-    best = 1
-    for d in range(1, int(nq ** 0.5) + 1):
-        if nq % d == 0:
-            for cand in (d, nq // d):
-                if cand <= cap and cand > best:
-                    best = cand
-    return best
 
 
 # --------------------------------------------------------------------------- #
@@ -313,10 +406,23 @@ def _block(hg, *shape_nd):
                         memory_space=pltpu.VMEM)
 
 
+def _lseblock(hg, nq):
+    """Whole-row block for the (B, H, 1, Nq) logsumexp (lane layout)."""
+    return pl.BlockSpec((1, hg, 1, nq), lambda b, g: (b, g, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 def _qblock(hg, bq, d):
     """Q-row block: the third grid dim walks Nq in bq-row steps."""
     return pl.BlockSpec((1, hg, bq, d),
                         lambda b, g, qi: (b, g, qi, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _qlseblock(bq):
+    """Lane-position Q block of the (B, H, 1, Nq) logsumexp — bq must be a
+    128-multiple (or the whole Nq) for Mosaic block legality."""
+    return pl.BlockSpec((1, 1, 1, bq), lambda b, g, qi: (b, g, 0, qi),
                         memory_space=pltpu.VMEM)
 
 
@@ -331,6 +437,7 @@ def _fwd_call(q, k, v, scale, interpret):
     b, h, nq, dh = q.shape
     nk = k.shape[2]
     dhv = v.shape[3]
+    compiler_params = None
     # f32 working set per head: q,k,v,o rows + logits/p (the big one) + lse
     per_head = 4 * (nq * dh + nk * dh + nk * dhv + nq * dhv + 2 * nq * nk + nq)
     if per_head <= _VMEM_BUDGET:
@@ -338,21 +445,17 @@ def _fwd_call(q, k, v, scale, interpret):
         hg = _head_group(h, per_head)
         grid = (b, h // hg)
         in_specs = [_block(hg, nq, dh), _block(hg, nk, dh), _block(hg, nk, dhv)]
-        out_specs = (_block(hg, nq, dhv), _block(hg, nq, 1))
+        out_specs = (_block(hg, nq, dhv), _lseblock(hg, nq))
     else:
-        # Tiled (v3/v4). K/V rows stay whole per step; pick the largest
-        # divisor-of-Nq Q block whose rows + softmax state + chunk temps fit.
-        hg = 1
-        kv_rows = 4 * (nk * dh + nk * dhv)
-        per_q_row = 4 * (dh + 2 * dhv + 3) + 4 * 2 * 128  # rows + min temps
-        bq = _pick_bq(nq, per_q_row, _VMEM_BUDGET - kv_rows)
-        rows = kv_rows + 4 * (bq * dh + 2 * bq * dhv + 3 * bq)
-        bk = _pick_bk(bq, _VMEM_BUDGET - rows, n_temps=2)
+        plan = _plan_fwd_tiled(nq, nk, dh, dhv, q.dtype.itemsize)
+        bq, bk = plan if plan is not None else _min_plan(nq)
         kernel = functools.partial(_fwd_kernel_tiled, scale=scale, bk=bk)
-        grid = (b, h, nq // bq)
+        grid = (b, h, pl.cdiv(nq, bq))
         in_specs = [_qblock(1, bq, dh), _kvblock(1, nk, dh),
                     _kvblock(1, nk, dhv)]
-        out_specs = (_qblock(1, bq, dhv), _qblock(1, bq, 1))
+        out_specs = (_qblock(1, bq, dhv), _qlseblock(bq))
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=_TILED_VMEM_LIMIT)
 
     out, lse = pl.pallas_call(
         kernel,
@@ -361,8 +464,9 @@ def _fwd_call(q, k, v, scale, interpret):
         out_specs=out_specs,
         out_shape=(
             jax.ShapeDtypeStruct((b, h, nq, dhv), q.dtype),
-            jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, 1, nq), jnp.float32),
         ),
+        compiler_params=compiler_params,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * nq * nk * (dh + dhv),
@@ -389,58 +493,38 @@ def _flash_bwd(scale, interpret, residuals, g):
     nk = k.shape[2]
     dhv = v.shape[3]
     scratch_shapes = []
+    compiler_params = None
     per_head = 4 * (2 * (nq * dh + nk * dh) + 2 * (nk * dhv + nq * dhv)
                     + 3 * nq * nk + nq)
-    # v3 whole-row working set: q/o/do/dq rows + k/v/dk/dv rows + lse/dcap,
-    # PLUS the 4 chunk temps at the minimum 128-wide chunk — judged against
-    # a looser ceiling than _VMEM_BUDGET (the v3 single-Q-step grid revisits
-    # nothing, so less double-buffering headroom is needed; the measured-good
-    # 1568-token shape sits at ~6.4 MB and stays v3, the 2352-token shape at
-    # ~9.6 MB goes v4).
-    v3_rows = 4 * (2 * (nq * dh + nk * dh) + 3 * nq * dhv + nk * dhv + 2 * nq)
-    v3_total = v3_rows + 4 * 4 * nq * 128
     if per_head <= _VMEM_BUDGET:
         kernel = functools.partial(_bwd_kernel, scale=scale)
         hg = _head_group(h, per_head)
         grid = (b, h // hg)
         in_specs = [
             _block(hg, nq, dh), _block(hg, nk, dh), _block(hg, nk, dhv),
-            _block(hg, nq, dhv), _block(hg, nq, 1), _block(hg, nq, dhv),
+            _block(hg, nq, dhv), _lseblock(hg, nq), _block(hg, nq, dhv),
         ]
         out_specs = (_block(hg, nq, dh), _block(hg, nk, dh),
                      _block(hg, nk, dhv))
-    elif v3_total <= _VMEM_BUDGET_TILED_BWD:
-        # v3 KV-tiled: all q rows per step, chunk temps s/p/dp/ds.
-        bk = _pick_bk(nq, max(_VMEM_BUDGET - v3_rows, 1), n_temps=4)
-        kernel = functools.partial(_bwd_kernel_tiled, scale=scale, bk=bk)
-        hg = 1
-        grid = (b, h)
-        in_specs = [
-            _block(1, nq, dh), _block(1, nk, dh), _block(1, nk, dhv),
-            _block(1, nq, dhv), _block(1, nq, 1), _block(1, nq, dhv),
-        ]
-        out_specs = (_block(1, nq, dh), _block(1, nk, dh), _block(1, nk, dhv))
     else:
-        # v4 Q+KV-tiled: K/V rows + f32 dk/dv accumulators resident; one
-        # Q-row block per (innermost) grid step.
-        hg = 1
-        fixed = 4 * 2 * (nk * dh + nk * dhv)      # k/v refs + dk/dv scratch
-        per_q_row = 4 * (2 * dh + 3 * dhv + 2) + 4 * 4 * 128
-        bq = _pick_bq(nq, per_q_row, _VMEM_BUDGET - fixed)
-        rows = fixed + 4 * bq * (2 * dh + 3 * dhv + 2)
-        bk = _pick_bk(bq, _VMEM_BUDGET - rows, n_temps=4)
-        nqb = nq // bq
+        # Tiled: K/V rows + f32 dk/dv accumulators resident; one Q-row
+        # block per (innermost) grid step.
+        plan = _plan_bwd_tiled(nq, nk, dh, dhv, q.dtype.itemsize)
+        bq, bk = plan if plan is not None else _min_plan(nq)
+        nqb = pl.cdiv(nq, bq)
         kernel = functools.partial(_bwd_kernel_qtiled, scale=scale, bk=bk,
-                                   nqb=nqb)
+                                   nqb=nqb, nq_total=nq)
         grid = (b, h, nqb)
         in_specs = [
             _qblock(1, bq, dh), _kvblock(1, nk, dh), _kvblock(1, nk, dhv),
-            _qblock(1, bq, dhv), _qblock(1, bq, 1), _qblock(1, bq, dhv),
+            _qblock(1, bq, dhv), _qlseblock(bq), _qblock(1, bq, dhv),
         ]
         out_specs = (_qblock(1, bq, dh), _kvblock(1, nk, dh),
                      _kvblock(1, nk, dhv))
         scratch_shapes = [pltpu.VMEM((1, nk, dh), jnp.float32),
                           pltpu.VMEM((1, nk, dhv), jnp.float32)]
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=_TILED_VMEM_LIMIT)
 
     dq, dk, dv = pl.pallas_call(
         kernel,
@@ -453,6 +537,7 @@ def _flash_bwd(scale, interpret, residuals, g):
             jax.ShapeDtypeStruct((b, h, nk, dhv), v.dtype),
         ),
         scratch_shapes=scratch_shapes,
+        compiler_params=compiler_params,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=5 * b * h * nq * nk * (dh + dhv),

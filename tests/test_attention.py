@@ -156,26 +156,56 @@ def test_pallas_training_policy(monkeypatch):
 
 
 def test_pallas_route_vmem_feasibility_gate(monkeypatch):
-    """Every real shape maps to a kernel tier: one-shot (324), v3 KV-tiled
-    (1568 = 16-frame joint attention), v4 Q+KV-tiled (2352 = 24 frames).
-    Only sequences whose K/V rows alone approach the VMEM budget (~16k
-    tokens) fall back to XLA."""
+    """Every real (bf16 training) shape maps to a kernel tier: one-shot
+    (324), tiled (1600 = 16-frame joint attention + fusion prefix; 2352 =
+    24 frames). Only sequences whose K/V rows + f32 dk/dv accumulators
+    alone blow the padded budget (~16k tokens) fall back to XLA."""
     from deepavfusion_tpu.ops import attention as A
 
     monkeypatch.setattr(A, "_on_tpu", lambda: True)
-    vid_q = np.zeros((1, 12, 1568, 64)); vid_k = np.zeros((1, 12, 1568, 64))
-    vid24_q = np.zeros((1, 12, 2352, 64)); vid24_k = np.zeros((1, 12, 2352, 64))
-    huge_q = np.zeros((1, 12, 2 ** 14, 64)); huge_k = np.zeros((1, 12, 2 ** 14, 64))
-    ok_q = np.zeros((1, 12, 324, 64)); ok_k = np.zeros((1, 12, 324, 64))
+    bf16 = np.float16  # same itemsize as the bf16 the models train in
+    vid_q = np.zeros((1, 12, 1600, 64), bf16); vid_k = np.zeros((1, 12, 1600, 64), bf16)
+    vid24_q = np.zeros((1, 12, 2352, 64), bf16); vid24_k = np.zeros((1, 12, 2352, 64), bf16)
+    huge_q = np.zeros((1, 12, 2 ** 14, 64), bf16); huge_k = np.zeros((1, 12, 2 ** 14, 64), bf16)
+    ok_q = np.zeros((1, 12, 324, 64), bf16); ok_k = np.zeros((1, 12, 324, 64), bf16)
     assert A._kernel_fits(ok_q, ok_k)                        # one-shot
-    assert A._kernel_fits(vid_q, vid_k)                      # v3 tiled
-    assert A._kernel_fits(vid24_q, vid24_k)                  # v4 q-tiled
+    assert A._kernel_fits(vid_q, vid_k)                      # tiled
+    assert A._kernel_fits(vid24_q, vid24_k)                  # tiled, q-blocked
     assert not A._kernel_fits(huge_q, huge_k)                # K/V rows too big
     assert A._pallas_for_training(vid_q, vid_k, None)
     assert A._pallas_for_inference(vid_q, vid_k, None)
     assert A._pallas_for_training(vid24_q, vid24_k, None)
     assert not A._pallas_for_training(huge_q, huge_k, None)
     assert A._pallas_for_training(ok_q, ok_k, None)
+
+
+def test_tiled_planner_padded_accounting():
+    """The r3 hardware regression: unpadded arithmetic OK'd a 1600-token
+    plan whose true Mosaic footprint was 19.4 MB vs the 16 MB scoped-VMEM
+    limit. The planner must account lane padding (Dh=64 -> 128, (N,1)
+    stats -> 128 lanes) and never emit an over-budget plan."""
+    from deepavfusion_tpu.ops.pallas import flash_attention as F
+
+    # padded sizes: a (1600, 64) f32 buffer really occupies 1600x128 lanes
+    assert F._vbytes(1600, 64, 4) == 1600 * 128 * 4
+    assert F._vbytes(1600, 1, 4) == 1600 * 128 * 4      # the stats column
+    assert F._vbytes(1, 1600, 4) == 8 * 1664 * 4        # the rank-3 lse row
+    assert F._vbytes(100, 64, 2) == 112 * 128 * 2       # bf16 sublane tile 16
+
+    # the in-model video shapes (bf16 training) must plan in-budget
+    for n in (1568, 1600, 2352):
+        for planner in (F._plan_fwd_tiled, F._plan_bwd_tiled):
+            plan = planner(n, n, 64, 64, 2)
+            assert plan is not None, (planner.__name__, n)
+            bq, bk = plan
+            # bq must be Mosaic-legal: the whole dim, or a 128-multiple
+            # (lane-position lse block; ragged tails are masked in-kernel)
+            assert bq == n or bq % 128 == 0
+            assert bk % 128 == 0
+    # the f32 1600 fwd must NOT keep all rows resident (that was the
+    # 19.4 MB plan); any in-budget plan necessarily Q-blocks
+    bq, _ = F._plan_fwd_tiled(1600, 1600, 64, 64, 4)
+    assert bq < 1600
 
 
 def _tiled_shapes_engage(q, k, v):
@@ -204,38 +234,36 @@ def test_flash_attention_tiled_matches_xla():
 
 
 def test_flash_attention_qtiled_matches_xla():
-    """v4 Q+KV-tiled forward (24-frame joint-attention scale, 2352 tokens:
-    rows alone exceed the KV-tiled budget, so the Q grid dim engages)."""
+    """Q-blocked tiled forward (24-frame joint-attention scale, 2352
+    tokens: the planner must pick bq < nq, so the Q grid dim engages)."""
     from deepavfusion_tpu.ops.pallas import flash_attention as F
 
     rng = np.random.RandomState(9)
     q = jnp.asarray(rng.randn(1, 2, 2352, 64).astype(np.float32))
     k = jnp.asarray(rng.randn(1, 2, 2352, 64).astype(np.float32))
     v = jnp.asarray(rng.randn(1, 2, 2352, 64).astype(np.float32))
-    # assert the shape really picks a bq < nq (the v4 tier)
-    kv_rows = 4 * (2352 * 64 * 2)
-    per_q_row = 4 * (64 + 2 * 64 + 3) + 4 * 2 * 128
-    assert F._pick_bq(2352, per_q_row, F._VMEM_BUDGET - kv_rows) < 2352
+    plan = F._plan_fwd_tiled(2352, 2352, 64, 64, 4)
+    assert plan is not None and plan[0] < 2352
     got = F.flash_attention(q, k, v, interpret=True)
     want = attention.xla_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
 def test_flash_attention_qtiled_gradient_matches_xla():
-    """v4 backward: dk/dv accumulated across Q-block grid steps in VMEM
-    scratch (zeroed at the first Q step, written back at the last)."""
+    """Tiled backward: dk/dv accumulated across Q-block grid steps in VMEM
+    scratch (zeroed at the first Q step, written back at the last). The
+    1600-token f32 plan must Q-block (bq < nq) so the accumulation across
+    grid steps is actually exercised."""
     import jax
 
     from deepavfusion_tpu.ops.pallas import flash_attention as F
 
     rng = np.random.RandomState(10)
-    q = jnp.asarray(rng.randn(1, 1, 2352, 64).astype(np.float32))
-    k = jnp.asarray(rng.randn(1, 1, 2352, 64).astype(np.float32))
-    v = jnp.asarray(rng.randn(1, 1, 2352, 64).astype(np.float32))
-    # the bwd tier check: past the v3 ceiling → the q-tiled kernel runs
-    v3_rows = 4 * (2 * (2352 * 64 + 2352 * 64) + 3 * 2352 * 64
-                   + 2352 * 64 + 2 * 2352)
-    assert v3_rows + 4 * 4 * 2352 * 128 > F._VMEM_BUDGET_TILED_BWD
+    q = jnp.asarray(rng.randn(1, 1, 1600, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 1, 1600, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 1, 1600, 64).astype(np.float32))
+    plan = F._plan_bwd_tiled(1600, 1600, 64, 64, 4)
+    assert plan is not None and plan[0] < 1600
 
     def loss_pallas(q, k, v):
         return (F.flash_attention(q, k, v, interpret=True) ** 2).sum()
