@@ -78,11 +78,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Per-grid-step working-set budget for the ONE-SHOT kernels' head-group
-# packing, in *unpadded* f32 bytes. Physical VMEM is ~16 MB; Mosaic
-# double-buffers the in/out blocks across grid steps, so stay well under.
-# (Deliberately kept as the A/B-validated unpadded arithmetic — the head
-# groups it picks are measured-good; see _vbytes for the padded math the
-# tiled tier uses.)
+# packing, in *unpadded* bytes (native dtype for in/out rows and the P/dS
+# casts, f32 for the softmax temps). Mosaic double-buffers the in/out
+# blocks across grid steps, so stay well under the scoped-VMEM cap.
+# (Deliberately kept as unpadded arithmetic — the head groups it picks are
+# A/B-measured-good; see _vbytes for the padded math the tiled tier uses.)
 _VMEM_BUDGET = 5 * 1024 * 1024
 # Ceiling for the tiled tier's *padded* working-set estimate (_vbytes
 # terms, incl. double-buffered in/out blocks and every f32 temp). With the
@@ -100,6 +100,32 @@ _TILED_VMEM_LIMIT = 64 * 1024 * 1024
 # KV chunk widths the planner tries, largest first (multiples of the 128
 # lane tile; wider chunks mean fewer, larger MXU ops).
 _BK_CANDIDATES = (512, 256, 128)
+
+# v4 (round-3 MFU push): the kernels no longer upcast q/k/v to f32 before
+# the matmuls. The MXU multiplies bf16 natively with f32 accumulation
+# (preferred_element_type) — upcasting first forced multi-pass f32-input
+# matmuls, several times slower per MACC, which is why the A/B-measured
+# decoder shapes ran at ~10 TF/s against a ~49 TF/s k=32-depth bound.
+# The probability matrix (and dS in the backward) are computed in f32 for
+# softmax stability, then cast back to the INPUT dtype for their second-
+# stage matmuls — exactly the xla_attention semantics
+# (``weights.astype(v.dtype)`` before the PV einsum), so f32-input tests
+# keep full precision while bf16 production traffic stays on the fast MXU
+# path end-to-end. Softmax runs in base 2 (exp2 with log2(e) folded into
+# the logit scale — one fewer VPU multiply per logit element; the stored
+# logsumexp is base-2, consumed only by our own backward).
+_LOG2E = 1.4426950408889634
+
+# v4 lse elision: on-hardware attribution of the dec_img one-shot forward
+# (B64 H16 N228 Dh32, chained timing) puts QK^T at ~400 us, softmax+PV at
+# ~35 us — and the logsumexp emission at ~200 us (the (HG, Nq, 1) →
+# (HG, 1, Nq) sublane→lane transpose inside the kernel, plus the extra
+# output). The one-shot kernels hold the whole row in VMEM, so the
+# backward can recompute the row max/denominator with two cheap lane
+# reductions instead of consuming an lse residual. Shapes where BOTH
+# directions fit the one-shot budget therefore run an lse-free custom VJP
+# (_flash_nolse); everything else (the tiled video shapes, and mixed
+# one-shot-fwd/tiled-bwd sizes) keeps the lse-carrying path unchanged.
 
 
 def _vbytes(rows: int, cols: int, itemsize: int = 4) -> int:
@@ -193,6 +219,7 @@ def _head_group(h: int, per_head_bytes: int) -> int:
 
 _BATCH_DNUMS = (((2,), (2,)), ((0,), (0,)))   # (HG,M,K)x(HG,N,K) -> (HG,M,N)
 _PV_DNUMS = (((2,), (1,)), ((0,), (0,)))      # (HG,M,K)x(HG,K,N) -> (HG,M,N)
+_MKN_DNUMS = _PV_DNUMS                        # alias: plain (m,k)x(k,n)
 
 
 # --------------------------------------------------------------------------- #
@@ -202,49 +229,158 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
     """One (batch, head-group) slice fully in VMEM.
 
     q (1, HG, Nq, Dh), k (1, HG, Nk, Dh), v (1, HG, Nk, Dhv).
+    Matmul inputs stay in their native dtype (bf16 → native MXU passes);
+    softmax is f32 base-2; lse is stored base-2 (see _LOG2E note above).
     """
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
 
-    logits = jax.lax.dot_general(
+    s2 = jax.lax.dot_general(
         q, k, _BATCH_DNUMS, preferred_element_type=jnp.float32
-    ) * scale                                               # (HG, Nq, Nk)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
+    ) * (scale * _LOG2E)                                    # (HG, Nq, Nk)
+    m2 = jnp.max(s2, axis=-1, keepdims=True)
+    p = jnp.exp2(s2 - m2)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
-        p, v, _PV_DNUMS, preferred_element_type=jnp.float32
-    ) / denom
+        p.astype(v.dtype), v, _PV_DNUMS, preferred_element_type=jnp.float32
+    ) * (1.0 / denom)
     o_ref[0] = out.astype(o_ref.dtype)
-    lse_ref[0] = jnp.swapaxes(m + jnp.log(denom), -1, -2)   # (HG, 1, Nq)
+    lse_ref[0] = jnp.swapaxes(m2 + jnp.log2(denom), -1, -2)  # (HG, 1, Nq)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float):
-    """Fused dq/dk/dv for one (batch, head-group) slice, recomputing P."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
-    lse = jnp.swapaxes(lse_ref[0], -1, -2)                  # (HG, Nq, 1)
-    do = do_ref[0].astype(jnp.float32)
+    """Fused dq/dk/dv for one (batch, head-group) slice, recomputing P.
 
-    logits = jax.lax.dot_general(
+    P and dS are computed in f32, then cast to the input dtype for their
+    matmuls (native-dtype MXU passes; see the _LOG2E/v4 note above). lse
+    arrives base-2.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    o = o_ref[0]
+    lse2 = jnp.swapaxes(lse_ref[0], -1, -2)                 # (HG, Nq, 1)
+    do = do_ref[0]
+
+    s2 = jax.lax.dot_general(
         q, k, _BATCH_DNUMS, preferred_element_type=jnp.float32
-    ) * scale
-    p = jnp.exp(logits - lse)                               # (HG, Nq, Nk)
+    ) * (scale * _LOG2E)
+    p = jnp.exp2(s2 - lse2)                                 # (HG, Nq, Nk) f32
+    pc = p.astype(v.dtype)
 
     # dv = Pᵀ dO  — (HG, Nk, Dhv)
     dv = jax.lax.dot_general(
-        p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        pc, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     # dP = dO Vᵀ ; D = rowsum(dO ∘ O) ; dS = P ∘ (dP − D)
     dp = jax.lax.dot_general(
         do, v, _BATCH_DNUMS, preferred_element_type=jnp.float32
     )
-    dcap = jnp.sum(do * o, axis=-1, keepdims=True)
-    ds = p * (dp - dcap)
+    dcap = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                   axis=-1, keepdims=True)
+    ds = (p * (dp - dcap)).astype(q.dtype)
+    dq = jax.lax.dot_general(
+        ds, k, _PV_DNUMS, preferred_element_type=jnp.float32
+    ) * scale
+    dk = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _per_head_fwd(nq, nk, dh, dhv, item, lse):
+    """Unpadded one-shot fwd working set per head (see _VMEM_BUDGET note)."""
+    cast = item if item < 4 else 0
+    return (item * (nq * dh + nk * dh + nk * dhv + nq * dhv)
+            + (8 + cast) * nq * nk + (4 * nq if lse else 0))
+
+
+def _per_head_bwd(nq, nk, dh, dhv, item, lse):
+    """Unpadded one-shot bwd working set per head. The lse-free variant
+    reads K in both layouts (one extra nk*dh buffer; vt replaces v)."""
+    cast = item if item < 4 else 0
+    return (2 * item * (nq * dh + nk * dh + nk * dhv + nq * dhv)
+            + (0 if lse else item * nk * dh)
+            + (16 + 2 * cast) * nq * nk + (8 if lse else 4) * nq)
+
+
+def _one_shot_nolse(nq, nk, dh, dhv, item):
+    """True iff BOTH directions fit the one-shot budget → the lse-free
+    custom VJP applies (the backward recomputes the softmax stats)."""
+    return (_per_head_fwd(nq, nk, dh, dhv, item, lse=False) <= _VMEM_BUDGET
+            and _per_head_bwd(nq, nk, dh, dhv, item, lse=False) <= _VMEM_BUDGET)
+
+
+def _fwd_kernel_nolse(q_ref, kt_ref, v_ref, o_ref, *, scale: float):
+    """One-shot forward without the logsumexp output — the fast path for
+    every trunk shape (both directions one-shot; see the lse-elision note).
+
+    K arrives TRANSPOSED — (HG, Dh, Nk), the (k, n) layout the MXU wants
+    for the rhs. With the natural (Nk, Dh) layout Mosaic contracts lane
+    against lane and pays an internal transpose: A/B-measured 430 vs
+    332 us for the bare dec_img QK^T (B64 H16 N228 Dh32, incl. the S
+    write-back; q-transposed variants measured worse, so q stays (m, k)).
+    The transpose itself is done by XLA outside the kernel, where it fuses
+    with the surrounding layout ops.
+    """
+    q = q_ref[0]
+    kt = kt_ref[0]
+    v = v_ref[0]
+    s2 = jax.lax.dot_general(
+        q, kt, _MKN_DNUMS, preferred_element_type=jnp.float32
+    ) * (scale * _LOG2E)                                    # (HG, Nq, Nk)
+    m2 = jnp.max(s2, axis=-1, keepdims=True)
+    p = jnp.exp2(s2 - m2)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v, _PV_DNUMS, preferred_element_type=jnp.float32
+    ) * (1.0 / denom)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _bwd_kernel_nolse(q_ref, k_ref, kt_ref, vt_ref, o_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale: float):
+    """Fused dq/dk/dv recomputing the normalized P from scratch — two lane
+    reductions (~tens of us) instead of the lse residual's HBM round-trip
+    and in-kernel transpose (~200 us measured, see the lse-elision note).
+
+    The two lane-contract matmuls (s2 recompute, dP = dO Vᵀ) take
+    TRANSPOSED (Dh/Dhv, Nk) operands (see _fwd_kernel_nolse's layout
+    note); dq = dS K wants the natural (Nk, Dh) K, already (k, n) — so K
+    arrives in both layouts (the duplicate HBM read is a few MB — noise
+    next to the ~100 us/matmul the (k, n) layout saves), while natural V
+    is not needed at all. dv/dk contract over sublanes (the Nq dim) and
+    keep natural operands.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    kt = kt_ref[0]
+    vt = vt_ref[0]
+    o = o_ref[0]
+    do = do_ref[0]
+
+    s2 = jax.lax.dot_general(
+        q, kt, _MKN_DNUMS, preferred_element_type=jnp.float32
+    ) * (scale * _LOG2E)
+    m2 = jnp.max(s2, axis=-1, keepdims=True)
+    e = jnp.exp2(s2 - m2)
+    p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))      # normalized P, f32
+    pc = p.astype(do.dtype)
+
+    dv = jax.lax.dot_general(
+        pc, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, vt, _MKN_DNUMS, preferred_element_type=jnp.float32
+    )
+    dcap = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                   axis=-1, keepdims=True)
+    ds = (p * (dp - dcap)).astype(q.dtype)
     dq = jax.lax.dot_general(
         ds, k, _PV_DNUMS, preferred_element_type=jnp.float32
     ) * scale
@@ -270,28 +406,30 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
 # --------------------------------------------------------------------------- #
 def _fwd_kernel_tiled(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                       bk: int):
-    """Online-softmax forward: one Q-row block resident, logits in KV chunks."""
-    q = q_ref[0].astype(jnp.float32)                        # (HG, bq, Dh)
+    """Online-softmax forward: one Q-row block resident, logits in KV chunks.
+
+    Base-2 softmax, native-dtype matmul inputs (see the _LOG2E/v4 note)."""
+    q = q_ref[0]                                            # (HG, bq, Dh)
     hg, bq, _ = q.shape
     dhv = v_ref.shape[-1]
     nk = k_ref.shape[2]
 
     def chunk(k, v, m_i, l_i, acc):
-        s = jax.lax.dot_general(
+        s2 = jax.lax.dot_general(
             q, k, _BATCH_DNUMS, preferred_element_type=jnp.float32
-        ) * scale                                           # (HG, bq, size)
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_i - m_new)
+        ) * (scale * _LOG2E)                                # (HG, bq, size)
+        m_new = jnp.maximum(m_i, jnp.max(s2, axis=-1, keepdims=True))
+        p = jnp.exp2(s2 - m_new)
+        alpha = jnp.exp2(m_i - m_new)
         l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
         a_new = acc * alpha + jax.lax.dot_general(
-            p, v, _PV_DNUMS, preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, _PV_DNUMS, preferred_element_type=jnp.float32
         )
         return m_new, l_new, a_new
 
     def body(i, carry):
-        k = k_ref[0, :, pl.ds(i * bk, bk), :].astype(jnp.float32)
-        v = v_ref[0, :, pl.ds(i * bk, bk), :].astype(jnp.float32)
+        k = k_ref[0, :, pl.ds(i * bk, bk), :]
+        v = v_ref[0, :, pl.ds(i * bk, bk), :]
         return chunk(k, v, *carry)
 
     init = (jnp.full((hg, bq, 1), -jnp.inf, jnp.float32),
@@ -300,11 +438,11 @@ def _fwd_kernel_tiled(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     m_i, l_i, acc = jax.lax.fori_loop(0, nk // bk, body, init)
     if nk % bk:                                             # static tail
         m_i, l_i, acc = chunk(
-            k_ref[0, :, nk - nk % bk:, :].astype(jnp.float32),
-            v_ref[0, :, nk - nk % bk:, :].astype(jnp.float32),
+            k_ref[0, :, nk - nk % bk:, :],
+            v_ref[0, :, nk - nk % bk:, :],
             m_i, l_i, acc)
-    o_ref[0] = (acc / l_i).astype(o_ref.dtype)
-    lse_ref[0] = jnp.swapaxes(m_i + jnp.log(l_i), -1, -2)   # (HG, 1, bq)
+    o_ref[0] = (acc * (1.0 / l_i)).astype(o_ref.dtype)
+    lse_ref[0] = jnp.swapaxes(m_i + jnp.log2(l_i), -1, -2)  # (HG, 1, bq)
 
 
 def _bwd_kernel_qtiled(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
@@ -328,42 +466,42 @@ def _bwd_kernel_qtiled(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
         dk_acc[...] = jnp.zeros(dk_acc.shape, dk_acc.dtype)
         dv_acc[...] = jnp.zeros(dv_acc.shape, dv_acc.dtype)
 
-    q = q_ref[0].astype(jnp.float32)                        # (HG, bq, Dh)
+    q = q_ref[0]                                            # (HG, bq, Dh)
     o = o_ref[0].astype(jnp.float32)
-    lse = jnp.swapaxes(lse_ref[0], -1, -2)                  # (HG, bq, 1)
-    do = do_ref[0].astype(jnp.float32)
+    lse2 = jnp.swapaxes(lse_ref[0], -1, -2)                 # (HG, bq, 1)
+    do = do_ref[0]
     hg, bq, dh = q.shape
     nk = k_ref.shape[2]
 
     if nq_total % bq:
         rows = jax.lax.broadcasted_iota(jnp.int32, (hg, bq, 1), 1)
         valid = rows < (nq_total - qi * bq)                 # (HG, bq, 1)
-        q = jnp.where(valid, q, 0.0)
-        do = jnp.where(valid, do, 0.0)
+        q = jnp.where(valid, q, jnp.zeros((), q.dtype))
+        do = jnp.where(valid, do, jnp.zeros((), do.dtype))
         # o feeds dcap = sum(do*o): a NaN in a garbage row would survive
         # the do=0 mask (0*NaN) and then poison ds = p*(dp-dcap) the same
         # way — so o must be zeroed too, not just do.
         o = jnp.where(valid, o, 0.0)
-        # a garbage lse could make exp(s - lse) overflow in dead rows
-        lse = jnp.where(valid, lse, jnp.inf)
+        # a garbage lse could make exp2(s2 - lse2) overflow in dead rows
+        lse2 = jnp.where(valid, lse2, jnp.inf)
 
-    dcap = jnp.sum(do * o, axis=-1, keepdims=True)          # (HG, bq, 1)
+    dcap = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
 
     def chunk(k, v, dq):
         """One KV chunk: dq contribution returned, dk/dv chunks returned
         for the caller to accumulate into scratch at the right offset."""
-        s = jax.lax.dot_general(
+        s2 = jax.lax.dot_general(
             q, k, _BATCH_DNUMS, preferred_element_type=jnp.float32
-        ) * scale
-        p = jnp.exp(s - lse)                                # (HG, bq, size)
+        ) * (scale * _LOG2E)
+        p = jnp.exp2(s2 - lse2)                             # (HG, bq, size)
         dvc = jax.lax.dot_general(
-            p, do, (((1,), (1,)), ((0,), (0,))),
+            p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do, v, _BATCH_DNUMS, preferred_element_type=jnp.float32
         )
-        ds = p * (dp - dcap)
+        ds = (p * (dp - dcap)).astype(q.dtype)
         dq = dq + jax.lax.dot_general(
             ds, k, _PV_DNUMS, preferred_element_type=jnp.float32
         ) * scale
@@ -375,8 +513,7 @@ def _bwd_kernel_qtiled(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
 
     def body(i, dq):
         sl = pl.ds(i * bk, bk)
-        dq, dkc, dvc = chunk(k_ref[0, :, sl, :].astype(jnp.float32),
-                             v_ref[0, :, sl, :].astype(jnp.float32), dq)
+        dq, dkc, dvc = chunk(k_ref[0, :, sl, :], v_ref[0, :, sl, :], dq)
         dk_acc[:, sl, :] += dkc
         dv_acc[:, sl, :] += dvc
         return dq
@@ -385,8 +522,7 @@ def _bwd_kernel_qtiled(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
                            jnp.zeros((hg, bq, dh), jnp.float32))
     if nk % bk:                                             # static tail
         t0 = nk - nk % bk
-        dq, dkc, dvc = chunk(k_ref[0, :, t0:, :].astype(jnp.float32),
-                             v_ref[0, :, t0:, :].astype(jnp.float32), dq)
+        dq, dkc, dvc = chunk(k_ref[0, :, t0:, :], v_ref[0, :, t0:, :], dq)
         dk_acc[:, t0:, :] += dkc
         dv_acc[:, t0:, :] += dvc
     dq_ref[0] = dq.astype(dq_ref.dtype)
@@ -438,8 +574,9 @@ def _fwd_call(q, k, v, scale, interpret):
     nk = k.shape[2]
     dhv = v.shape[3]
     compiler_params = None
-    # f32 working set per head: q,k,v,o rows + logits/p (the big one) + lse
-    per_head = 4 * (nq * dh + nk * dh + nk * dhv + nq * dhv + 2 * nq * nk + nq)
+    # Working set per head: native-dtype q/k/v/o rows, f32 s2+p (the big
+    # ones) + the native-dtype P cast for the PV matmul, f32 lse row.
+    per_head = _per_head_fwd(nq, nk, dh, dhv, q.dtype.itemsize, lse=True)
     if per_head <= _VMEM_BUDGET:
         kernel = functools.partial(_fwd_kernel, scale=scale)
         hg = _head_group(h, per_head)
@@ -494,8 +631,9 @@ def _flash_bwd(scale, interpret, residuals, g):
     dhv = v.shape[3]
     scratch_shapes = []
     compiler_params = None
-    per_head = 4 * (2 * (nq * dh + nk * dh) + 2 * (nk * dhv + nq * dhv)
-                    + 3 * nq * nk + nq)
+    # Native-dtype q/dq/k/dk/v/dv/o/do + f32 s2/p/dp/ds + the native-dtype
+    # P and dS casts + f32 lse/dcap rows.
+    per_head = _per_head_bwd(nq, nk, dh, dhv, q.dtype.itemsize, lse=True)
     if per_head <= _VMEM_BUDGET:
         kernel = functools.partial(_bwd_kernel, scale=scale)
         hg = _head_group(h, per_head)
@@ -551,6 +689,77 @@ def _flash_bwd(scale, interpret, residuals, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# --------------------------------------------------------------------------- #
+# lse-free fast path — one-shot both directions (see the lse-elision note)
+# --------------------------------------------------------------------------- #
+def _fwd_call_nolse(q, k, v, scale, interpret):
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    dhv = v.shape[3]
+    hg = _head_group(h, _per_head_fwd(nq, nk, dh, dhv, q.dtype.itemsize,
+                                      lse=False))
+    kt = jnp.swapaxes(k, -1, -2)        # (B, H, Dh, Nk) — XLA-side, fuses
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_nolse, scale=scale),
+        grid=(b, h // hg),
+        in_specs=[_block(hg, nq, dh), _block(hg, dh, nk), _block(hg, nk, dhv)],
+        out_specs=_block(hg, nq, dhv),
+        out_shape=jax.ShapeDtypeStruct((b, h, nq, dhv), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * nq * nk * (dh + dhv),
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * nq * nk,
+        ),
+    )(q, kt, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_nolse(q, k, v, scale, interpret):
+    return _fwd_call_nolse(q, k, v, scale, interpret)
+
+
+def _flash_nolse_fwd(q, k, v, scale, interpret):
+    out = _fwd_call_nolse(q, k, v, scale, interpret)
+    return out, (q, k, v, out)
+
+
+def _flash_nolse_bwd(scale, interpret, residuals, g):
+    q, k, v, out = residuals
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    dhv = v.shape[3]
+    hg = _head_group(h, _per_head_bwd(nq, nk, dh, dhv, q.dtype.itemsize,
+                                      lse=False))
+    kt = jnp.swapaxes(k, -1, -2)        # (B, H, Dh, Nk)
+    vt = jnp.swapaxes(v, -1, -2)        # (B, H, Dhv, Nk)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_nolse, scale=scale),
+        grid=(b, h // hg),
+        in_specs=[
+            _block(hg, nq, dh), _block(hg, nk, dh), _block(hg, dh, nk),
+            _block(hg, dhv, nk), _block(hg, nq, dhv), _block(hg, nq, dhv),
+        ],
+        out_specs=(_block(hg, nq, dh), _block(hg, nk, dh),
+                   _block(hg, nk, dhv)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, nq, dh), q.dtype),
+            jax.ShapeDtypeStruct((b, h, nk, dh), k.dtype),
+            jax.ShapeDtypeStruct((b, h, nk, dhv), v.dtype),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * b * h * nq * nk * (dh + dhv),
+            bytes_accessed=2 * (q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * nq * nk,
+        ),
+    )(q, k, kt, vt, out, g)
+    return dq, dk, dv
+
+
+_flash_nolse.defvjp(_flash_nolse_fwd, _flash_nolse_bwd)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -569,7 +778,13 @@ def flash_attention(
     shapes past the VMEM budget (video joint space-time attention) switch to
     the KV-tiled online-softmax kernels automatically. Selection is purely by
     static shape, per-direction (a long sequence may tile the bwd only).
+    Shapes where both directions are one-shot skip the logsumexp residual
+    entirely (lse-free VJP; see the v4 lse-elision note above).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    if _one_shot_nolse(nq, nk, dh, v.shape[3], q.dtype.itemsize):
+        return _flash_nolse(q, k, v, float(scale), bool(interpret))
     return _flash(q, k, v, float(scale), bool(interpret))
