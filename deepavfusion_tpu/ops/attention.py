@@ -101,17 +101,28 @@ _PALLAS_TRAIN_MIN_N = 192
 def _pallas_for_training(q, k, bias) -> bool:
     """Route TRAINING attention at N >= 192 to the Pallas kernel — ON by
     default since the end-to-end A/B (v5e, B=64 ViT-B pretrain step): the
-    228-token MAE image decoder is the only training shape that qualifies,
+    228-token MAE image decoder is the only pretrain shape that qualifies,
     and routing it measures 121.4 vs 125.0 ms/step (527 vs 512 clips/s/chip,
-    MFU 0.392 vs 0.380 — NOTES.md r3). DAVF_PALLAS_TRAIN_MIN_N overrides
-    the threshold; DAVF_NO_PALLAS_TRAIN=1 or DAVF_NO_PALLAS=1 disables."""
+    MFU 0.392 vs 0.380 — NOTES.md r3). Restricted to shapes whose BACKWARD
+    runs one-shot: the v4 kernels win every one-shot fwd+bwd at N >= 192
+    (dec_img 401/1138 vs 782/1472 us), but the Q-tiled backward's
+    sequential chunk loop loses at the video joint-attention lengths
+    (7.36 vs 5.76 ms at 1568 tokens) — those train on XLA and only their
+    forward-only (inference) calls route to Pallas.
+    DAVF_PALLAS_TRAIN_MIN_N overrides the threshold;
+    DAVF_NO_PALLAS_TRAIN=1 or DAVF_NO_PALLAS=1 disables."""
     import os
 
     if os.environ.get("DAVF_NO_PALLAS") or os.environ.get("DAVF_NO_PALLAS_TRAIN"):
         return False
     n = int(os.environ.get("DAVF_PALLAS_TRAIN_MIN_N", _PALLAS_TRAIN_MIN_N))
-    return (bias is None and q.shape[2] >= n and k.shape[2] >= n
-            and _kernel_fits(q, k) and _on_tpu())
+    if not (bias is None and q.shape[2] >= n and k.shape[2] >= n
+            and _on_tpu()):
+        return False
+    from .pallas.flash_attention import one_shot_bwd_fits
+
+    return one_shot_bwd_fits(q.shape[2], k.shape[2], q.shape[3], q.shape[3],
+                             jnp.dtype(q.dtype).itemsize)
 
 
 def xla_attention(

@@ -209,6 +209,19 @@ def tiled_fits(nq: int, nk: int, dh: int, dhv: int, itemsize: int) -> bool:
             and _plan_bwd_tiled(nq, nk, dh, dhv, itemsize) is not None)
 
 
+def one_shot_bwd_fits(nq: int, nk: int, dh: int, dhv: int, itemsize: int) -> bool:
+    """True iff the BACKWARD runs one-shot (whole row in VMEM). Routing
+    gate for the TRAINING fast path: the Q-tiled backward's sequential
+    fori_loop loses its A/B (video_joint_1568 bwd 7.36 vs 5.76 ms XLA,
+    r3 post-fori-loop-fix numbers), while every one-shot backward wins —
+    so training routes only one-shot-bwd shapes; inference (forward-only)
+    still routes tiled shapes, where the tiled forward wins (2.27 vs
+    2.84 ms)."""
+    return (_per_head_bwd(nq, nk, dh, dhv, itemsize, lse=True) <= _VMEM_BUDGET
+            or _per_head_bwd(nq, nk, dh, dhv, itemsize, lse=False)
+            <= _VMEM_BUDGET)
+
+
 def _head_group(h: int, per_head_bytes: int) -> int:
     """Largest divisor of h whose working set fits the VMEM budget."""
     hg = max(min(_VMEM_BUDGET // max(per_head_bytes, 1), h), 1)

@@ -172,10 +172,16 @@ def test_pallas_route_vmem_feasibility_gate(monkeypatch):
     assert A._kernel_fits(vid_q, vid_k)                      # tiled
     assert A._kernel_fits(vid24_q, vid24_k)                  # tiled, q-blocked
     assert not A._kernel_fits(huge_q, huge_k)                # K/V rows too big
-    assert A._pallas_for_training(vid_q, vid_k, None)
+    # Training routes ONLY one-shot-bwd shapes (the Q-tiled backward loses
+    # its A/B at video lengths — see _pallas_for_training); inference
+    # (forward-only) still routes the tiled shapes, where the tiled forward
+    # wins.
+    assert not A._pallas_for_training(vid_q, vid_k, None)
     assert A._pallas_for_inference(vid_q, vid_k, None)
-    assert A._pallas_for_training(vid24_q, vid24_k, None)
+    assert not A._pallas_for_training(vid24_q, vid24_k, None)
+    assert A._pallas_for_inference(vid24_q, vid24_k, None)
     assert not A._pallas_for_training(huge_q, huge_k, None)
+    assert not A._pallas_for_inference(huge_q, huge_k, None)
     assert A._pallas_for_training(ok_q, ok_k, None)
 
 
