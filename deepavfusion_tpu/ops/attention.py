@@ -24,17 +24,17 @@ def _on_tpu() -> bool:
 def _use_pallas_default() -> bool:
     """Global Pallas override.
 
-    On-hardware A/B of kernel v2 (v5e, all 10 reference shapes, fwd+bwd,
-    400-iteration single-dispatch chains — NOTES.md r3): XLA wins 14/20,
-    all of them at small shapes sitting on the ~100 us dispatch floor, so
-    XLA remains the *training* default (pretrain runs at visible-token
-    sizes 81/51). Pallas wins every N >= 192 shape — including the v3
-    KV-tiled video joint-attention shape (1568 tokens: fwd 1078 vs 2841 us,
-    bwd 4135 vs 5769; in-context video block fwd 0.77x / bwd 0.59x of XLA)
-    — those route automatically for training AND inference at N >= 192.
-    Set DAVF_PALLAS=1 to force the Pallas kernels everywhere,
-    DAVF_NO_PALLAS=1 to force XLA everywhere (disables the N >= 192 routes
-    too).
+    On-hardware A/B of kernel v4 (v5e, all 12 shapes, fwd+bwd,
+    400-iteration single-dispatch chains — NOTES.md r3 "Kernel v4"): the
+    small (N <= 128) shapes sit on the ~100 us dispatch floor where XLA
+    wins, so XLA remains the *global* default (pretrain encoders run at
+    visible-token sizes 81/51). Pallas wins BOTH directions of every
+    one-shot N >= 192 shape (dec_img 401/1138 vs 782/1472 us; joint_324
+    510/1628 vs 1221/2338) and the tiled video FORWARD (2267 vs 2828 us at
+    1568 tokens) but loses the tiled backward (7355 vs 5756) — hence the
+    per-direction routes below. Set DAVF_PALLAS=1 to force the Pallas
+    kernels everywhere, DAVF_NO_PALLAS=1 to force XLA everywhere (disables
+    the N >= 192 routes too).
     """
     import os
 
@@ -51,12 +51,11 @@ def _use_pallas_default() -> bool:
 # SLOWER in-context (38.9 vs 2.6 ms per 64x228x768 ViT block fwd) — its
 # host-side jnp.pad of the head dim to 128 lanes (and the slice back) added
 # HBM round-trips and fenced XLA's fusion around the custom call, so the
-# route shipped opt-in. v2 (ops/pallas/flash_attention.py) passes the
-# natural (B, H, N, Dh) layout straight through, and the in-context block
-# re-measurement (bench_attention.py --in-context, v5e) shows parity on the
-# block fwd (ratio 1.001) and 8% FASTER block bwd (4434 vs 4815 us), while
-# the isolated A/B has Pallas winning every N >= 192 fwd shape
-# (enc_img_full 445 vs 649 us, joint_324 678 vs 1236 us — NOTES.md r3).
+# route shipped opt-in. v2 removed the padding; v4 (native-dtype matmuls,
+# lse-free one-shot VJP, (k,n) operand layouts) widened the win: in-context
+# ViT block fwd ratio 0.942 / bwd 0.855 (Pallas faster both ways), isolated
+# enc_img_full fwd 260 vs 621 us, and the tiled video forward 2267 vs
+# 2828 us (NOTES.md r3 "Kernel v4").
 # DAVF_NO_PALLAS=1 or DAVF_NO_PALLAS_INFER=1 disables the route.
 _PALLAS_INFERENCE_MIN_N = 192
 # VMEM feasibility for the route. The one-shot kernels hold one head's full
@@ -168,9 +167,10 @@ def dot_product_attention(
     """Dispatching attention.
 
     Policy (data-driven, NOTES.md r3 A/B): XLA einsum for the small
-    (visible-token) training shapes where it wins every A/B row; the v2
-    Pallas kernel for inference at N >= 192 where it wins both isolated and
-    in-context (see _pallas_for_inference). DAVF_PALLAS=1 forces Pallas
+    (visible-token) training shapes where it wins every A/B row; the v4
+    Pallas kernel at N >= 192 — for inference always, for training when
+    the backward is one-shot (see _pallas_for_inference /
+    _pallas_for_training). DAVF_PALLAS=1 forces Pallas
     globally; DAVF_NO_PALLAS=1 forces XLA everywhere. Falls back to XLA
     whenever attention weights are requested or a bias is supplied. The
     Pallas kernel carries a custom VJP, so a differentiated call stays
