@@ -309,3 +309,44 @@ def test_flash_attention_tiled_gradient_matches_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-3,
             err_msg="tiled VJP disagrees with XLA autodiff")
+
+
+def test_nolse_and_lse_paths_agree():
+    """Kernel v4 routes one-shot-both-directions shapes through an lse-free
+    custom VJP whose backward recomputes the softmax stats; the lse-carrying
+    path must produce the same outputs AND gradients on the same inputs."""
+    import jax
+
+    from deepavfusion_tpu.ops.pallas import flash_attention as F
+
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(1, 4, 36, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 4, 28, 16).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 4, 28, 16).astype(np.float32))
+    assert F._one_shot_nolse(36, 28, 16, 16, 4)   # this shape takes the fast path
+
+    scale = 16 ** -0.5
+    out_nolse = F._flash_nolse(q, k, v, scale, True)
+    out_lse = F._flash(q, k, v, scale, True)
+    np.testing.assert_allclose(np.asarray(out_nolse), np.asarray(out_lse),
+                               atol=2e-5)
+
+    g_nolse = jax.grad(
+        lambda *a: (F._flash_nolse(*a, scale, True) ** 2).sum(), argnums=(0, 1, 2)
+    )(q, k, v)
+    g_lse = jax.grad(
+        lambda *a: (F._flash(*a, scale, True) ** 2).sum(), argnums=(0, 1, 2)
+    )(q, k, v)
+    for a, b in zip(g_nolse, g_lse):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_one_shot_bwd_fits_boundaries():
+    """The training-route gate: one-shot-bwd shapes qualify, tiled-backward
+    (video) lengths do not (their Q-tiled backward loses the A/B)."""
+    from deepavfusion_tpu.ops.pallas.flash_attention import one_shot_bwd_fits
+
+    assert one_shot_bwd_fits(228, 228, 32, 32, 2)     # MAE image decoder
+    assert one_shot_bwd_fits(324, 324, 64, 64, 2)     # joint fusion bound
+    assert not one_shot_bwd_fits(1568, 1568, 64, 64, 2)   # 16-frame video
+    assert not one_shot_bwd_fits(2352, 2352, 64, 64, 2)   # 24-frame video
