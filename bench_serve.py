@@ -8,7 +8,7 @@ single-dispatch chain methodology (per-call timing through the axon tunnel
 under-reports 10-40x; see bench.py).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
-Usage: python bench_serve.py [batch=64] [iters=100]
+Usage: python bench_serve.py [batch=64] [iters=100] [--q8]
 """
 import json
 import os
@@ -20,8 +20,10 @@ import numpy as np
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    q8 = "--q8" in sys.argv                   # int8 weight-only bundle
+    batch = int(argv[0]) if argv else 64
+    iters = int(argv[1]) if len(argv) > 1 else 100
 
     import jax
     import jax.numpy as jnp
@@ -45,10 +47,16 @@ def main():
                             jnp.zeros((1, 224, 224, 3)),
                             jnp.zeros((1, 128, 192, 1)))["params"]
 
-    out_dir = os.path.join(tempfile.gettempdir(), "davf_bench_bundle")
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           "davf_bench_bundle_q8" if q8 else "davf_bench_bundle")
     t0 = time.perf_counter()
-    serve.export_classifier(model, params, out_dir, batch=batch)
+    serve.export_classifier(model, params, out_dir, batch=batch,
+                            quantize="int8" if q8 else None)
     export_s = time.perf_counter() - t0
+
+    size_mb = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(out_dir) for f in fs) / 1e6
 
     t0 = time.perf_counter()
     bundle = serve.load_bundle(out_dir)
@@ -80,13 +88,15 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     print(json.dumps({
-        "metric": "served AVClassifier inference (StableHLO bundle)",
+        "metric": ("served AVClassifier inference (StableHLO bundle"
+                   + (", int8 weights)" if q8 else ")")),
         "value": round(batch / dt, 1),
         "unit": "clips/s/chip",
         "vs_baseline": 1.0,
         "latency_ms_batch": round(dt * 1e3, 2),
         "batch": batch,
         "iters_per_dispatch": iters,
+        "bundle_mb": round(size_mb, 1),
         "export_s": round(export_s, 1),
         "bundle_load_s": round(load_s, 1),
         "backend": jax.default_backend(),

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections.abc import Mapping
 from typing import Callable, Sequence
 
 import jax
@@ -75,6 +76,87 @@ def _load_params(path: str, device=None):
     return ckptr.restore(path, target=target)
 
 
+# --------------------------------------------------------------------------- #
+# int8 weight-only quantization (serving)
+#
+# Per-output-channel symmetric int8 on the 2-D matmul kernels (qkv/proj/mlp/
+# heads — where ~all the weight bytes are). TPU-native rationale: at serving
+# batch sizes the matmuls are HBM-bound on WEIGHT traffic; int8 storage
+# halves the bytes (vs bf16; 4x vs the f32 master copy) and XLA fuses the
+# `convert * scale` dequant into the consuming dot's operand load, so the
+# weights cross HBM as int8. Activations stay bf16 — accuracy-safe
+# weight-only PTQ, no calibration data needed.
+# --------------------------------------------------------------------------- #
+_Q8_KEY = "__q8__"
+
+
+def _is_q8_node(node) -> bool:
+    return isinstance(node, Mapping) and _Q8_KEY in node
+
+
+def quantize_params_int8(params, min_dim: int = 64):
+    """Quantize every 2-D ``kernel`` with both dims >= min_dim.
+
+    Each quantized leaf becomes ``{"__q8__": int8 (k, n), "scale": f32 (n,)}``
+    (per-output-channel symmetric, max-abs scaling). Conv kernels, norms,
+    biases, embeddings, and small projections pass through untouched.
+    """
+
+    def quant(w):
+        w = np.asarray(jax.device_get(w), np.float32)
+        scale = np.abs(w).max(axis=0) / 127.0
+        scale = np.where(scale == 0.0, 1.0, scale).astype(np.float32)
+        q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        return {_Q8_KEY: q, "scale": scale}
+
+    def rec(node, name):
+        if isinstance(node, Mapping):
+            return {k: rec(v, k) for k, v in node.items()}
+        arr = np.asarray(jax.device_get(node))
+        if (name == "kernel" and arr.ndim == 2
+                and min(arr.shape) >= min_dim
+                and arr.dtype in (np.float32, np.float64)):
+            return quant(arr)
+        return node
+
+    return rec(params, "")
+
+
+def dequantize_params(qparams, dtype=jnp.bfloat16):
+    """Inverse of quantize_params_int8 — jittable; quantized kernels come
+    back in ``dtype`` (the models' compute dtype), everything else verbatim.
+    Inside a jit, XLA fuses the convert+scale into the consuming matmul."""
+
+    def rec(node):
+        if _is_q8_node(node):
+            return jnp.asarray(node[_Q8_KEY]).astype(dtype) * jnp.asarray(
+                node["scale"]).astype(dtype)
+        if isinstance(node, Mapping):
+            return {k: rec(v) for k, v in node.items()}
+        return node
+
+    return rec(qparams)
+
+
+def quantization_error(params, qparams):
+    """Max relative per-tensor L2 error of the quantized leaves (sanity)."""
+    worst = 0.0
+
+    def rec(p, q):
+        nonlocal worst
+        if _is_q8_node(q):
+            w = np.asarray(jax.device_get(p), np.float32)
+            deq = np.asarray(q[_Q8_KEY], np.float32) * q["scale"]
+            worst = max(worst, float(np.linalg.norm(deq - w) /
+                                     (np.linalg.norm(w) + 1e-12)))
+        elif isinstance(q, Mapping):
+            for k in q:
+                rec(p[k], q[k])
+
+    rec(params, qparams)
+    return worst
+
+
 def export_fn(
     fn: Callable,
     params,
@@ -83,15 +165,29 @@ def export_fn(
     output_names: Sequence[str] = (),
     platforms: Sequence[str] = DEFAULT_PLATFORMS,
     extra_meta: dict | None = None,
+    quantize: str | None = None,
 ) -> str:
     """Serialize ``fn(params, *inputs)`` as a serving bundle.
 
     ``fn`` must be jittable with static shapes; ``example_inputs`` fix the
-    served shapes/dtypes (classic fixed-shape TPU serving). Returns out_dir.
+    served shapes/dtypes (classic fixed-shape TPU serving).
+    ``quantize="int8"`` stores int8 weight-only params (see
+    quantize_params_int8) with the dequant baked into the exported graph —
+    the bundle shrinks ~4x vs f32 and serves with int8 HBM weight traffic.
+    Returns out_dir.
     """
     from jax import export as jexport
 
     os.makedirs(out_dir, exist_ok=True)
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unknown quantize mode: {quantize!r}")
+    if quantize == "int8":
+        inner = fn
+        params = quantize_params_int8(params)
+
+        def fn(qp, *inputs):  # noqa: F811 — the exported fn wraps dequant
+            return inner(dequantize_params(qp), *inputs)
+
     args = (params,) + tuple(example_inputs)
     specs = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), jnp.asarray(x).dtype), args
@@ -120,6 +216,7 @@ def export_fn(
         "outputs": list(output_names),
         "platforms": list(platforms),
         "jax_version": jax.__version__,
+        "quantize": quantize,
     }
     meta.update(extra_meta or {})
     with open(os.path.join(out_dir, _META), "w") as f:
@@ -154,7 +251,8 @@ def load_bundle(out_dir: str, device=None) -> Bundle:
 def export_classifier(model, params, out_dir: str, batch: int,
                       image_size: int = 224, audio_mels: int = 128,
                       audio_frames: int = 192,
-                      platforms: Sequence[str] = DEFAULT_PLATFORMS) -> str:
+                      platforms: Sequence[str] = DEFAULT_PLATFORMS,
+                      quantize: str | None = None) -> str:
     """Export an AVClassifier's eval forward (mean-of-heads is left to the
     caller; all three logit heads are returned, eval_linprobe.py:233)."""
 
@@ -168,7 +266,7 @@ def export_classifier(model, params, out_dir: str, batch: int,
     return export_fn(
         infer, params, (img, aud), out_dir,
         output_names=("logits_image", "logits_audio", "logits_fusion"),
-        platforms=platforms,
+        platforms=platforms, quantize=quantize,
         extra_meta={"task": "classification"},
     )
 
@@ -176,7 +274,8 @@ def export_classifier(model, params, out_dir: str, batch: int,
 def export_encoder(model, params, out_dir: str, batch: int,
                    image_size: int = 224, audio_mels: int = 128,
                    audio_frames: int = 192,
-                   platforms: Sequence[str] = DEFAULT_PLATFORMS) -> str:
+                   platforms: Sequence[str] = DEFAULT_PLATFORMS,
+                      quantize: str | None = None) -> str:
     """Export the DeepAVFusion trunk's eval forward (pooled features for
     retrieval / probing: image, audio, fusion means)."""
 
@@ -192,7 +291,7 @@ def export_encoder(model, params, out_dir: str, batch: int,
     return export_fn(
         infer, params, (img, aud), out_dir,
         output_names=("feat_image", "feat_audio", "feat_fusion"),
-        platforms=platforms,
+        platforms=platforms, quantize=quantize,
         extra_meta={"task": "encoder"},
     )
 
@@ -200,7 +299,8 @@ def export_encoder(model, params, out_dir: str, batch: int,
 def export_segm(model, variables, out_dir: str, batch: int,
                 image_size: int = 224, audio_mels: int = 128,
                 audio_frames: int = 192,
-                platforms: Sequence[str] = DEFAULT_PLATFORMS) -> str:
+                platforms: Sequence[str] = DEFAULT_PLATFORMS,
+                      quantize: str | None = None) -> str:
     """Export AVSegmSimple's eval forward: dense per-pixel mask logits at
     the input resolution (eval_avsegm.py protocol). ``variables`` must carry
     params AND batch_stats (the FPN's BatchNorms serve with running stats)."""
@@ -215,7 +315,7 @@ def export_segm(model, variables, out_dir: str, batch: int,
     return export_fn(
         infer, dict(variables), (img, aud), out_dir,
         output_names=("mask_logits",),
-        platforms=platforms,
+        platforms=platforms, quantize=quantize,
         extra_meta={"task": "avsegm"},
     )
 
@@ -223,7 +323,8 @@ def export_segm(model, variables, out_dir: str, batch: int,
 def export_srcsep(model, variables, out_dir: str, batch: int,
                   image_size: int = 224, audio_mels: int = 128,
                   audio_frames: int = 192,
-                  platforms: Sequence[str] = DEFAULT_PLATFORMS) -> str:
+                  platforms: Sequence[str] = DEFAULT_PLATFORMS,
+                      quantize: str | None = None) -> str:
     """Export AVSrcSep's eval forward: mel-domain separation-mask logits for
     (source frame, mixture log-mel) pairs (eval_avsrcsep.py:240-241); the
     host-side ISTFT stage (`eval_avsrcsep.separate_waveform`) consumes the
@@ -239,6 +340,6 @@ def export_srcsep(model, variables, out_dir: str, batch: int,
     return export_fn(
         infer, dict(variables), (img, aud), out_dir,
         output_names=("mask_logits",),
-        platforms=platforms,
+        platforms=platforms, quantize=quantize,
         extra_meta={"task": "avsrcsep"},
     )

@@ -40,6 +40,7 @@ def main_worker(args) -> str:
     task = args.get("task", "encoder")
     out_dir = args.get("bundle_dir") or f"{args.output_dir}/bundle_{task}"
     batch = int(args.get("bundle_batch", 8))
+    quantize = args.get("bundle_quantize") or None   # "int8" → weight-only PTQ
     image_size = int(args.data.image_size)
     mels = int(args.data.audio_mels)
     frames = int(args.data.audio_dur * 64)
@@ -57,7 +58,7 @@ def main_worker(args) -> str:
             params, loaded = load_encoder_checkpoint(params, args)
             print(f"encoder checkpoint loaded: {loaded}")
             serve.export_encoder(model, params["encoder"], out_dir, batch,
-                                 image_size, mels, frames)
+                                 image_size, mels, frames, quantize=quantize)
         elif task == "classifier":
             from deepavfusion_tpu.data import catalog
             from deepavfusion_tpu.models.classifier import AVClassifier
@@ -78,7 +79,8 @@ def main_worker(args) -> str:
                 restored = _load_params(str(cls_ckpt))
                 params = restored["state"]["params"]
             serve.export_classifier(model, params, out_dir, batch,
-                                    image_size, mels, frames)
+                                    image_size, mels, frames,
+                                    quantize=quantize)
         elif task in ("avsegm", "avsrcsep"):
             # dense heads carry BatchNorm running stats: export the full
             # variables dict from a trained head checkpoint (or init stats)
@@ -113,7 +115,8 @@ def main_worker(args) -> str:
                     variables["batch_stats"] = ms["batch_stats"]
             export = (serve.export_segm if task == "avsegm"
                       else serve.export_srcsep)
-            export(model, variables, out_dir, batch, image_size, mels, frames)
+            export(model, variables, out_dir, batch, image_size, mels, frames,
+                   quantize=quantize)
         else:
             raise ValueError(
                 f"unknown task {task!r} (encoder|classifier|avsegm|avsrcsep)")

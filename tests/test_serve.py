@@ -167,3 +167,56 @@ def test_export_bundle_cli_avsegm(tmp_path):
     (mask,) = infer(img, aud)
     assert mask.shape == (2, 1, 32, 32)
     assert infer.meta["task"] == "avsegm"
+
+
+def test_int8_quantize_roundtrip():
+    """Per-channel symmetric int8: dequant error bounded by scale/2 per
+    element; relative L2 error small for Gaussian weights."""
+    rng = np.random.RandomState(7)
+    params = {
+        "attn": {"qkv": {"kernel": rng.randn(96, 288).astype(np.float32),
+                         "bias": rng.randn(288).astype(np.float32)}},
+        "norm": {"scale": np.ones(96, np.float32)},
+        "tiny": {"kernel": rng.randn(8, 8).astype(np.float32)},  # < min_dim
+        "conv": {"kernel": rng.randn(3, 3, 4, 8).astype(np.float32)},  # 4-D
+    }
+    qp = serve.quantize_params_int8(params)
+    assert serve._is_q8_node(qp["attn"]["qkv"]["kernel"])
+    assert qp["attn"]["qkv"]["kernel"]["__q8__"].dtype == np.int8
+    # untouched leaves pass through
+    assert qp["tiny"]["kernel"].shape == (8, 8)
+    assert qp["conv"]["kernel"].shape == (3, 3, 4, 8)
+    assert qp["norm"]["scale"].shape == (96,)
+
+    deq = serve.dequantize_params(qp, dtype=jnp.float32)
+    w = params["attn"]["qkv"]["kernel"]
+    scale = np.abs(w).max(axis=0) / 127.0
+    assert np.max(np.abs(np.asarray(deq["attn"]["qkv"]["kernel"]) - w)
+                  / scale[None, :]) <= 0.5 + 1e-3
+    assert serve.quantization_error(params, qp) < 0.01
+
+
+def test_int8_bundle_roundtrip(tmp_path):
+    """q8 bundle: int8 params on disk, logits close to the f32 export."""
+    model = AVClassifier(tiny_cfg(), num_classes=5)
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    aud = jnp.asarray(rng.randn(2, 16, 48, 1), jnp.float32)
+    params = model.init(jax.random.key(0), img, aud)["params"]
+
+    out_dir = str(tmp_path / "q8")
+    serve.export_classifier(model, params, out_dir, batch=2,
+                            image_size=32, audio_mels=16, audio_frames=48,
+                            platforms=("cpu",), quantize="int8")
+    infer = serve.load_bundle(out_dir)
+    assert infer.meta["quantize"] == "int8"
+    got = infer(img, aud)
+    want = model.apply({"params": params}, img, aud,
+                       train=False, deterministic=True)
+    for w, g in zip(want, got):
+        w = np.asarray(w)
+        g = np.asarray(g)
+        # weight-only int8 + bf16 dequant: logits agree to quantization noise
+        assert np.max(np.abs(w - g)) < 0.15 * (np.abs(w).max() + 1.0)
+        # ranking preserved on every sample (the serving contract that matters)
+        assert (w.argmax(-1) == g.argmax(-1)).all()
