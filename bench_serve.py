@@ -67,11 +67,14 @@ def main():
     aud = jnp.asarray(rng.randn(batch, 128, 192, 1), jnp.float32)
 
     # chain iters inferences in ONE dispatch: fold the logits back into the
-    # input so XLA cannot elide repeats (tunnel-safe timing, bench.py)
+    # input so XLA cannot elide repeats (tunnel-safe timing, bench.py).
+    # Params are an explicit jit ARGUMENT — closing over them would inline
+    # the whole 330M-param tree as literal constants in the lowered module
+    # (measured: 2.15 GB of StableHLO for one call), which the remote
+    # compile service rejects with HTTP 413.
     call = bundle._call
-    p = bundle._params
 
-    def chain(image, audio):
+    def chain(p, image, audio):
         def body(c, _):
             li, la, lf = call(p, c, audio)
             bump = (li + la + lf).mean() * 1e-6
@@ -80,10 +83,10 @@ def main():
         return out
 
     f = jax.jit(chain)
-    out = f(img, aud)
+    out = f(bundle._params, img, aud)
     _ = np.asarray(jax.device_get(out.ravel()[0]))   # compile + warm
     t0 = time.perf_counter()
-    out = f(img, aud)
+    out = f(bundle._params, img, aud)
     _ = np.asarray(jax.device_get(out.ravel()[0]))
     dt = (time.perf_counter() - t0) / iters
 
