@@ -118,6 +118,10 @@ def _pallas_for_training(q, k, bias) -> bool:
     if not (bias is None and q.shape[2] >= n and k.shape[2] >= n
             and _on_tpu()):
         return False
+    if os.environ.get("DAVF_PALLAS_TRAIN_TILED"):
+        # A/B escape (bench_video.py): allow the tiled-backward shapes into
+        # the training route to re-measure the policy in context.
+        return _kernel_fits(q, k)
     from .pallas.flash_attention import one_shot_bwd_fits
 
     return one_shot_bwd_fits(q.shape[2], k.shape[2], q.shape[3], q.shape[3],
