@@ -1,26 +1,26 @@
-"""Benchmark: the avsync (VideoEarlyFusion) train step, train-route policy A/B.
+"""Benchmark: the avsync (VideoEarlyFusion) train step, Pallas route A/B.
 
 The video models are the framework's only LONG-sequence surface: joint
 space-time self-attention over 8·14·14 = 1568 tokens at the stock avsync
 config (16 frames, video_vit_base — configs/avsync.yaml; reference
-models/video_vits.py:135-138). Since the r3 routing-policy update
-(ops/attention._pallas_for_training) TRAINING routes only shapes whose
-backward runs one-shot: the Q-tiled backward loses its isolated A/B at
-1568 tokens (7.36 vs 5.76 ms — post-fori-loop-fix numbers, NOTES.md
-"Kernel v4"), so the video train step runs XLA attention by default while
-forward-only (inference) calls still take the tiled Pallas forward.
+models/video_vits.py:135-138). That shape runs the KV-tiled online-softmax
+kernels and routes to Pallas by default for BOTH training and inference —
+a policy set by THIS bench, not the isolated A/B: the tiled backward
+LOSES in isolation (7.36 vs 5.76 ms, bench_attention.py) yet the full
+remat train step measures 954 ms routed vs 1165 ms on XLA (18% faster,
+loss-parity-checked) — XLA materializes the 1568-squared logits in HBM
+per layer while the tiled kernels stay VMEM-resident, and in the remat
+backward that HBM traffic dominates (NOTES.md r3 "Kernel v4").
 
-This bench verifies that policy IN CONTEXT (round 2's lesson: isolated
-results do not always transfer): it times the FULL avsync train step
-(VideoEarlyFusion trunk + sync head + CE + grads + AdamW update) with the
-default policy vs DAVF_PALLAS_TRAIN_TILED=1 (the pre-policy behavior that
-forces tiled-backward shapes into the training route), remat on and off,
-using bench.py's artifact-immune scan-of-K single-dispatch methodology.
+It times the FULL avsync train step (VideoEarlyFusion trunk + sync head +
+CE + grads + AdamW update) at the stock batch with the route on vs off
+(DAVF_NO_PALLAS_TRAIN=1), remat on and off, using bench.py's
+artifact-immune scan-of-K single-dispatch methodology.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...} where
-value is clips/s/chip under the default policy (best remat setting) and
-vs_baseline is its speedup over the forced-tiled variant (>1 confirms the
-policy). Variants that do not fit HBM are recorded as "oom".
+value is clips/s/chip with the route ON (best remat setting) and
+vs_baseline is the speedup over the route-OFF (pure XLA) step. Variants
+that do not fit HBM are recorded as "oom".
 """
 import json
 import os
@@ -100,14 +100,11 @@ def run_variant(route: str, remat: bool, batch: int, steps: int):
     """One (route, remat) measurement. Returns a row dict (or {'error': ...})."""
     import jax
 
-    # trace-time knob: the dispatch env is read when the jit traces.
-    # "xla" = the default policy (training excludes tiled-backward shapes,
-    # so the 1568-token step runs XLA attention); "pallas" = force the
-    # pre-policy tiled training route for the A/B.
-    if route == "pallas":
-        os.environ["DAVF_PALLAS_TRAIN_TILED"] = "1"
+    # trace-time knob: the dispatch env is read when the jit traces
+    if route == "xla":
+        os.environ["DAVF_NO_PALLAS_TRAIN"] = "1"
     else:
-        os.environ.pop("DAVF_PALLAS_TRAIN_TILED", None)
+        os.environ.pop("DAVF_NO_PALLAS_TRAIN", None)
 
     try:
         state, step_fn, step_body, batch_tree = build(remat, batch)
@@ -176,7 +173,7 @@ def run_variant(route: str, remat: bool, batch: int, steps: int):
         print(f"[{route} remat={remat}] {kind}: {msg[:300]}", file=sys.stderr)
         return {kind: msg[:200]}
     finally:
-        os.environ.pop("DAVF_PALLAS_TRAIN_TILED", None)
+        os.environ.pop("DAVF_NO_PALLAS_TRAIN", None)
 
 
 def main():
@@ -205,16 +202,15 @@ def main():
         return min(cands, key=lambda r: r["step_ms"]) if cands else None
 
     bp, bx = best("pallas"), best("xla")
-    value = bx["clips_per_sec"] if bx else 0.0
-    speedup = round(bp["step_ms"] / bx["step_ms"], 3) if bp and bx else None
+    value = bp["clips_per_sec"] if bp else 0.0
+    speedup = round(bx["step_ms"] / bp["step_ms"], 3) if bp and bx else None
     print(json.dumps({
-        "metric": "avsync train step clips/s/chip (default train-route policy)",
+        "metric": "avsync train step clips/s/chip (pallas tiled route)",
         "value": value,
         "unit": "clips/s/chip",
-        "vs_baseline": speedup,   # default policy over forced-tiled route
+        "vs_baseline": speedup,          # route-ON over route-OFF (XLA) step
         "baseline": {"source": "measured",
-                     "what": "same step with DAVF_PALLAS_TRAIN_TILED=1 "
-                             "(pre-policy tiled training route)"},
+                     "what": "same step with DAVF_NO_PALLAS_TRAIN=1"},
         "batch": batch, "steps_chained": steps,
         "backend": jax.default_backend(),
         "variants": rows,

@@ -102,30 +102,24 @@ def _pallas_for_training(q, k, bias) -> bool:
     default since the end-to-end A/B (v5e, B=64 ViT-B pretrain step): the
     228-token MAE image decoder is the only pretrain shape that qualifies,
     and routing it measures 121.4 vs 125.0 ms/step (527 vs 512 clips/s/chip,
-    MFU 0.392 vs 0.380 — NOTES.md r3). Restricted to shapes whose BACKWARD
-    runs one-shot: the v4 kernels win every one-shot fwd+bwd at N >= 192
-    (dec_img 401/1138 vs 782/1472 us), but the Q-tiled backward's
-    sequential chunk loop loses at the video joint-attention lengths
-    (7.36 vs 5.76 ms at 1568 tokens) — those train on XLA and only their
-    forward-only (inference) calls route to Pallas.
-    DAVF_PALLAS_TRAIN_MIN_N overrides the threshold;
-    DAVF_NO_PALLAS_TRAIN=1 or DAVF_NO_PALLAS=1 disables."""
+    MFU 0.392 vs 0.380 — NOTES.md r3). The v4 kernels win every one-shot
+    fwd+bwd at N >= 192 (dec_img 401/1138 vs 782/1472 us). The TILED
+    (video) shapes lose their isolated backward A/B (7.36 vs 5.76 ms at
+    1568 tokens) yet win decisively IN CONTEXT: the full avsync train step
+    (stock config: remat, batch 32) measures 954 ms with the tiled route
+    vs 1165 ms on XLA — 18% faster, loss-parity-checked (bench_video.py).
+    XLA materializes the 1568-squared logits in HBM per layer while the
+    tiled kernels stay VMEM-resident; in the remat backward that HBM
+    traffic dominates the kernels' own inefficiency. So ALL feasible
+    N >= 192 shapes route for training. DAVF_PALLAS_TRAIN_MIN_N overrides
+    the threshold; DAVF_NO_PALLAS_TRAIN=1 or DAVF_NO_PALLAS=1 disables."""
     import os
 
     if os.environ.get("DAVF_NO_PALLAS") or os.environ.get("DAVF_NO_PALLAS_TRAIN"):
         return False
     n = int(os.environ.get("DAVF_PALLAS_TRAIN_MIN_N", _PALLAS_TRAIN_MIN_N))
-    if not (bias is None and q.shape[2] >= n and k.shape[2] >= n
-            and _on_tpu()):
-        return False
-    if os.environ.get("DAVF_PALLAS_TRAIN_TILED"):
-        # A/B escape (bench_video.py): allow the tiled-backward shapes into
-        # the training route to re-measure the policy in context.
-        return _kernel_fits(q, k)
-    from .pallas.flash_attention import one_shot_bwd_fits
-
-    return one_shot_bwd_fits(q.shape[2], k.shape[2], q.shape[3], q.shape[3],
-                             jnp.dtype(q.dtype).itemsize)
+    return (bias is None and q.shape[2] >= n and k.shape[2] >= n
+            and _kernel_fits(q, k) and _on_tpu())
 
 
 def xla_attention(

@@ -210,13 +210,14 @@ def tiled_fits(nq: int, nk: int, dh: int, dhv: int, itemsize: int) -> bool:
 
 
 def one_shot_bwd_fits(nq: int, nk: int, dh: int, dhv: int, itemsize: int) -> bool:
-    """True iff the BACKWARD runs one-shot (whole row in VMEM). Routing
-    gate for the TRAINING fast path: the Q-tiled backward's sequential
-    fori_loop loses its A/B (video_joint_1568 bwd 7.36 vs 5.76 ms XLA,
-    r3 post-fori-loop-fix numbers), while every one-shot backward wins —
-    so training routes only one-shot-bwd shapes; inference (forward-only)
-    still routes tiled shapes, where the tiled forward wins (2.27 vs
-    2.84 ms)."""
+    """True iff the BACKWARD runs one-shot (whole row in VMEM).
+
+    Informational (kernel-tier boundary), NOT a routing gate: the Q-tiled
+    backward loses its ISOLATED A/B (video_joint_1568 bwd 7.36 vs 5.76 ms
+    XLA) but wins 18% IN CONTEXT on the full remat train step — XLA's
+    fallback materializes the N-squared logits in HBM per layer, which
+    costs more than the tiled kernels' sequential chunk loop
+    (bench_video.py; ops/attention._pallas_for_training docstring)."""
     return (_per_head_bwd(nq, nk, dh, dhv, itemsize, lse=True) <= _VMEM_BUDGET
             or _per_head_bwd(nq, nk, dh, dhv, itemsize, lse=False)
             <= _VMEM_BUDGET)

@@ -172,13 +172,13 @@ def test_pallas_route_vmem_feasibility_gate(monkeypatch):
     assert A._kernel_fits(vid_q, vid_k)                      # tiled
     assert A._kernel_fits(vid24_q, vid24_k)                  # tiled, q-blocked
     assert not A._kernel_fits(huge_q, huge_k)                # K/V rows too big
-    # Training routes ONLY one-shot-bwd shapes (the Q-tiled backward loses
-    # its A/B at video lengths — see _pallas_for_training); inference
-    # (forward-only) still routes the tiled shapes, where the tiled forward
-    # wins.
-    assert not A._pallas_for_training(vid_q, vid_k, None)
+    # All feasible N>=192 shapes route for training AND inference. The tiled
+    # video shapes lose their ISOLATED backward A/B but win 18% in context
+    # (full remat train step, bench_video.py) — the in-context measurement
+    # sets the policy (see _pallas_for_training).
+    assert A._pallas_for_training(vid_q, vid_k, None)
     assert A._pallas_for_inference(vid_q, vid_k, None)
-    assert not A._pallas_for_training(vid24_q, vid24_k, None)
+    assert A._pallas_for_training(vid24_q, vid24_k, None)
     assert A._pallas_for_inference(vid24_q, vid24_k, None)
     assert not A._pallas_for_training(huge_q, huge_k, None)
     assert not A._pallas_for_inference(huge_q, huge_k, None)
@@ -342,8 +342,9 @@ def test_nolse_and_lse_paths_agree():
 
 
 def test_one_shot_bwd_fits_boundaries():
-    """The training-route gate: one-shot-bwd shapes qualify, tiled-backward
-    (video) lengths do not (their Q-tiled backward loses the A/B)."""
+    """Kernel-tier boundary: one-shot backward for the trunk shapes, tiled
+    backward at the video lengths (informational — routing is in-context
+    driven, see _pallas_for_training)."""
     from deepavfusion_tpu.ops.pallas.flash_attention import one_shot_bwd_fits
 
     assert one_shot_bwd_fits(228, 228, 32, 32, 2)     # MAE image decoder
