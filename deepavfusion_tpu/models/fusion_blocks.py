@@ -40,6 +40,8 @@ deepavfusion.py:50) in contrast to the ViT blocks' 1e-6.
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -95,6 +97,48 @@ class PairDense(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(self.dtype)
         return y.reshape(b, n1 * n2, self.features)
+
+
+class _DenseParams(nn.Module):
+    """Declares ``nn.Dense``'s parameters — same names, shapes, and
+    initializers, so the param path (and therefore init values, converted
+    checkpoints, and the reference-parity tests) is indistinguishable from a
+    real ``nn.Dense`` — without computing anything. Callers fetch the weights
+    to run batched/merged matmuls (see ``FactorizedAVInteractionsAttention``:
+    step-time attribution put the fusion blocks at 31% of the pretrain step
+    for ~3% of its FLOPs, NOTES.md r3 — fewer, bigger ops is the fix)."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class _XAttnParams(nn.Module):
+    """Parameter shell matching ``layers.CrossAttention``'s tree
+    (q / kv / proj Dense submodules) for batched two-branch evaluation."""
+
+    dim: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        return (
+            _DenseParams(self.dim, self.dim, self.qkv_bias, name="q")(),
+            _DenseParams(2 * self.dim, self.dim, self.qkv_bias, name="kv")(),
+            _DenseParams(self.dim, self.dim, True, name="proj")(),
+        )
 
 
 class LocalAVTokensAttention(nn.Module):
@@ -180,6 +224,95 @@ class FactorizedAVInteractionsAttention(nn.Module):
     proj_drop: float = 0.0
     dtype: Dtype = jnp.float32
 
+    def _aggregate_batched(self, xmm_v, xmm_a, xv, xa, deterministic):
+        """Run attn_v and attn_a as ONE set of stacked-weight batched matmuls.
+
+        The two aggregator cross-attentions are identical in shape on the
+        query side (nv == na fusion aggregates, same dim, same heads) and
+        differ only in weights and key/value source length — so the branch
+        axis folds into the head axis and the whole aggregation runs as one
+        q-matmul, one kv-matmul, one masked attention, and one proj-matmul
+        instead of ~10 separate tiny ops. The shorter source is zero-padded
+        to the longer and masked with -inf logits bias (exp(-inf) = 0, so
+        results are bit-equal to the unbatched branches up to reduction
+        order). Param tree is identical to two CrossAttention submodules
+        (_XAttnParams), so converted checkpoints and parity tests see no
+        difference. Motivation: the fusion track is dispatch-bound at 31%
+        of the pretrain step for ~3% of its FLOPs (NOTES.md r3).
+        """
+        d = xmm_v.shape[-1]
+        H = self.num_heads
+        dh = d // H
+        pv = _XAttnParams(d, self.qkv_bias, name="attn_v")()
+        pa = _XAttnParams(d, self.qkv_bias, name="attn_a")()
+        dt = self.dtype
+
+        def stack_w(i):
+            return jnp.stack([pv[i][0], pa[i][0]]).astype(dt)
+
+        def stack_b(i):
+            if pv[i][1] is None:
+                return None
+            return jnp.stack([pv[i][1], pa[i][1]]).astype(dt)[None, :, None, :]
+
+        nq = xmm_v.shape[1]
+        xq = jnp.stack([xmm_v, xmm_a], axis=1).astype(dt)  # (B, 2, nq, d)
+        q = jnp.einsum("bsnd,sdf->bsnf", xq, stack_w(0))
+        if (bq := stack_b(0)) is not None:
+            q = q + bq
+
+        nv_t, na_t = xv.shape[1], xa.shape[1]
+        nk = max(nv_t, na_t)
+        if nv_t == na_t:
+            xsrc = jnp.stack([xv, xa], axis=1).astype(dt)
+            bias = None
+        else:
+            pad = lambda t: jnp.pad(t, ((0, 0), (0, nk - t.shape[1]), (0, 0)))
+            xsrc = jnp.stack([pad(xv), pad(xa)], axis=1).astype(dt)
+            valid = jnp.stack(
+                [jnp.arange(nk) < nv_t, jnp.arange(nk) < na_t]
+            )  # (2, nk)
+            bias = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
+            bias = jnp.broadcast_to(bias[:, None, None, :], (2, H, 1, nk))
+            bias = bias.reshape(1, 2 * H, 1, nk)
+        kv = jnp.einsum("bsnd,sdf->bsnf", xsrc, stack_w(1))
+        if (bkv := stack_b(1)) is not None:
+            kv = kv + bkv
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def heads(t):  # (B, 2, n, d) → (B, 2H, n, dh): branch folds into heads
+            b, s, n, _ = t.shape
+            return (t.reshape(b, s, n, H, dh).transpose(0, 1, 3, 2, 4)
+                    .reshape(b, s * H, n, dh))
+
+        out = attn_ops.dot_product_attention(
+            heads(q), heads(k), heads(v), bias=bias, inference=deterministic
+        )
+        b = out.shape[0]
+        out = (out.reshape(b, 2, H, nq, dh).transpose(0, 1, 3, 2, 4)
+               .reshape(b, 2, nq, d))
+        out = jnp.einsum("bsnd,sdf->bsnf", out, stack_w(2)) + stack_b(2)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out[:, 0], out[:, 1]
+
+    def _pair_kv_merged(self, xmm_v, xmm_a, inner):
+        """PairDense for k (→inner) and v (→full dim) share their inputs, so
+        their four side-matmuls merge into two by concatenating the kernels
+        along the feature axis. Params identical to two PairDense modules."""
+        d = xmm_v.shape[-1]
+        wk, bk = _DenseParams(inner, 2 * d, self.qkv_bias, name="k")()
+        wv, bv = _DenseParams(d, 2 * d, self.qkv_bias, name="v")()
+        dt = self.dtype
+        w = jnp.concatenate([wk, wv], axis=1).astype(dt)  # (2d, inner + d)
+        y1 = xmm_v.astype(dt) @ w[:d]  # (B, nv, inner + d)
+        y2 = xmm_a.astype(dt) @ w[d:]  # (B, na, inner + d)
+        y = y1[:, :, None, :] + y2[:, None, :, :]
+        if bk is not None:
+            y = y + jnp.concatenate([bk, bv]).astype(dt)
+        b, nv, na, _ = y.shape
+        y = y.reshape(b, nv * na, inner + d)
+        return y[..., :inner], y[..., inner:]
+
     @nn.compact
     def __call__(self, xmm, xv, xa, deterministic=True, return_weights=False):
         d = xmm.shape[-1]
@@ -191,22 +324,37 @@ class FactorizedAVInteractionsAttention(nn.Module):
         xmm_v = xmm[:, nmm : nmm + nv]
         xmm_a = xmm[:, nmm + nv :]
 
-        xmm_v = CrossAttention(
-            self.num_heads, self.qkv_bias, self.attn_drop, self.proj_drop,
-            dtype=self.dtype, name="attn_v",
-        )(xmm_v, xv, deterministic=deterministic)
-        xmm_a = CrossAttention(
-            self.num_heads, self.qkv_bias, self.attn_drop, self.proj_drop,
-            dtype=self.dtype, name="attn_a",
-        )(xmm_a, xa, deterministic=deterministic)
+        # Batched fast path (same param tree — see _aggregate_batched). The
+        # unbatched branches remain for nv != na configs, for zero-length
+        # sources (a fully-masked modality attends over an empty key set and
+        # must yield exact zeros, not a NaN softmax over all-padded keys),
+        # and as the DAVF_UNBATCHED_FUSION=1 A/B control.
+        batched = (nv == na and xv.shape[1] > 0 and xa.shape[1] > 0
+                   and not os.environ.get("DAVF_UNBATCHED_FUSION"))
+        if batched:
+            xmm_v, xmm_a = self._aggregate_batched(
+                xmm_v, xmm_a, xv, xa, deterministic
+            )
+        else:
+            xmm_v = CrossAttention(
+                self.num_heads, self.qkv_bias, self.attn_drop, self.proj_drop,
+                dtype=self.dtype, name="attn_v",
+            )(xmm_v, xv, deterministic=deterministic)
+            xmm_a = CrossAttention(
+                self.num_heads, self.qkv_bias, self.attn_drop, self.proj_drop,
+                dtype=self.dtype, name="attn_a",
+            )(xmm_a, xa, deterministic=deterministic)
 
         # pairs are (xmm_v_i ⊕ xmm_a_j), v-major — projected WITHOUT
         # materializing the (B, nv*na, 2d) concat (PairDense)
         q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(xmm2)
-        k = PairDense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
-                      name="k")(xmm_v, xmm_a)
-        v = PairDense(d, use_bias=self.qkv_bias, dtype=self.dtype,
-                      name="v")(xmm_v, xmm_a)
+        if batched:
+            k, v = self._pair_kv_merged(xmm_v, xmm_a, inner)
+        else:
+            k = PairDense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                          name="k")(xmm_v, xmm_a)
+            v = PairDense(d, use_bias=self.qkv_bias, dtype=self.dtype,
+                          name="v")(xmm_v, xmm_a)
         q = attn_ops.split_heads(q, self.num_heads)
         k = attn_ops.split_heads(k, self.num_heads)
         v = attn_ops.split_heads(v, self.num_heads)

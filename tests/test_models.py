@@ -332,3 +332,37 @@ def test_vit_cls_token_path():
     assert "cls_token" in params
     out = model.apply({"params": params}, x)
     assert out.shape == (2, 5, 48)  # 4 patches + cls
+
+
+@pytest.mark.parametrize("nv_img,na_aud", [(13, 7), (9, 9), (3, 0)])
+def test_factorized_batched_aggregators_match_unbatched(monkeypatch, nv_img, na_aud):
+    """The batched-aggregator fast path (stacked-weight einsums over a padded
+    key set + merged pair k/v) must be numerically identical to the two
+    CrossAttention branches it replaces — values AND grads — with a
+    byte-identical param tree. Covers unequal source lengths (the pretrain
+    shapes), equal lengths (bias-free path), and a zero-length source
+    (fully-masked modality → empty-attention zeros, the unbatched fallback)."""
+    B, d = 2, 48
+    blk = fb.FusionBlock(arch="factorized_mmi", num_heads=4, attn_ratio=0.25,
+                         mlp_ratio=1.0, fusion_tkns=(4, 2, 2))
+    xf = jax.random.normal(jax.random.key(0), (B, 8, d))
+    xi = jax.random.normal(jax.random.key(1), (B, nv_img, d))
+    xa = jax.random.normal(jax.random.key(2), (B, na_aud, d))
+
+    monkeypatch.delenv("DAVF_UNBATCHED_FUSION", raising=False)
+    params = blk.init(jax.random.key(3), xf, xi, xa)
+    out = blk.apply(params, xf, xi, xa)
+    g = jax.grad(lambda p: (blk.apply(p, xf, xi, xa) ** 2).sum())(params)
+
+    monkeypatch.setenv("DAVF_UNBATCHED_FUSION", "1")
+    params_ub = blk.init(jax.random.key(3), xf, xi, xa)
+    assert jax.tree.all(
+        jax.tree.map(lambda a, b: bool((a == b).all()), params, params_ub)
+    ), "param trees must be identical between the two compute paths"
+    out_ub = blk.apply(params_ub, xf, xi, xa)
+    g_ub = jax.grad(lambda p: (blk.apply(p, xf, xi, xa) ** 2).sum())(params_ub)
+
+    assert bool(jnp.isfinite(out).all())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ub), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ub)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
