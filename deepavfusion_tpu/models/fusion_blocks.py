@@ -33,6 +33,12 @@ Reference quirks reproduced bit-for-bit (they affect converted checkpoints):
      ``dim*attn_ratio``.
   5. Factorized V projects to the full dim while Q/K are reduced (:228-230).
 
+Deliberate non-parity: ``attn_drop`` (dropout on the attention *weights*,
+reference fusion_blocks.py:27/:52) is NOT supported — every shipped config
+sets it to 0 and the fused attention paths have no weights tensor to drop.
+The attention modules below raise at trace time if attn_drop != 0 rather
+than silently ignoring it.
+
 TPU-first: pair tensors for the factorized arch stay O(nv·na·2d) = 64×1536
 (tiny); the Pallas kernel path fuses each softmax(QKᵀ)V. All LayerNorms use
 eps=1e-5 (torch default — the trunk constructs these with plain nn.LayerNorm,
@@ -49,6 +55,24 @@ from ..ops import attention as attn_ops
 from .layers import CrossAttention, DropPath, Dtype, Mlp, layer_norm
 
 FUSION_NORM_EPS = 1e-5  # plain torch.nn.LayerNorm default (deepavfusion.py:50)
+
+
+def _env_flag(name: str) -> bool:
+    """Boolean env flag: unset / '' / '0' / 'false' / 'off' mean OFF.
+
+    Read at TRACE time — toggling after a jitted function is cached has no
+    effect on that cache entry.
+    """
+    return os.environ.get(name, "").strip().lower() not in ("", "0", "false", "off")
+
+
+def _check_no_attn_drop(attn_drop: float) -> None:
+    if attn_drop:
+        raise NotImplementedError(
+            "attn_drop (dropout on attention weights) is intentionally "
+            "unsupported in the fusion attention paths; all reference "
+            "configs set it to 0 (see module docstring)."
+        )
 
 
 def _pairs(x_major: jnp.ndarray, x_minor: jnp.ndarray) -> jnp.ndarray:
@@ -155,6 +179,7 @@ class LocalAVTokensAttention(nn.Module):
 
     @nn.compact
     def __call__(self, xmm, src1, src2, deterministic=True, return_weights=False):
+        _check_no_attn_drop(self.attn_drop)
         d = xmm.shape[-1]
         inner = int(d * self.dim_ratio)
         x_src = jnp.concatenate([src1, src2], axis=1)
@@ -186,6 +211,7 @@ class DenseAVInteractionsAttention(nn.Module):
 
     @nn.compact
     def __call__(self, xmm, x_major, x_minor, deterministic=True, return_weights=False):
+        _check_no_attn_drop(self.attn_drop)
         d = xmm.shape[-1]
         inner = int(d * self.dim_ratio)
         scale = (d // self.num_heads) ** -0.5  # quirk #4: full-dim head scale
@@ -315,6 +341,7 @@ class FactorizedAVInteractionsAttention(nn.Module):
 
     @nn.compact
     def __call__(self, xmm, xv, xa, deterministic=True, return_weights=False):
+        _check_no_attn_drop(self.attn_drop)
         d = xmm.shape[-1]
         inner = int(d * self.dim_ratio)
         scale = (d // self.num_heads) ** -0.5
@@ -328,9 +355,12 @@ class FactorizedAVInteractionsAttention(nn.Module):
         # unbatched branches remain for nv != na configs, for zero-length
         # sources (a fully-masked modality attends over an empty key set and
         # must yield exact zeros, not a NaN softmax over all-padded keys),
-        # and as the DAVF_UNBATCHED_FUSION=1 A/B control.
+        # and as the DAVF_UNBATCHED_FUSION=1 A/B control (bit-comparable to
+        # the batched path only when deterministic=True: with proj_drop > 0
+        # the two paths draw different dropout RNG streams — one Dropout
+        # over the stacked tensor vs two module-scoped Dropouts).
         batched = (nv == na and xv.shape[1] > 0 and xa.shape[1] > 0
-                   and not os.environ.get("DAVF_UNBATCHED_FUSION"))
+                   and not _env_flag("DAVF_UNBATCHED_FUSION"))
         if batched:
             xmm_v, xmm_a = self._aggregate_batched(
                 xmm_v, xmm_a, xv, xa, deterministic

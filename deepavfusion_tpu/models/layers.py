@@ -23,6 +23,18 @@ from ..ops import attention as attn_ops
 Dtype = jnp.dtype
 
 
+def _check_no_attn_drop(attn_drop: float) -> None:
+    """``attn_drop`` (dropout on the attention weights, timm Attention) is
+    intentionally unsupported — every shipped config sets it to 0 and the
+    fused attention paths never materialize a weights tensor to drop. Fail
+    loudly at trace time instead of silently ignoring a nonzero value."""
+    if attn_drop:
+        raise NotImplementedError(
+            "attn_drop (dropout on attention weights) is not supported; "
+            "all reference configs set it to 0."
+        )
+
+
 class DropPath(nn.Module):
     """Stochastic depth per sample (timm DropPath semantics)."""
 
@@ -79,6 +91,7 @@ class SelfAttention(nn.Module):
         deterministic: bool = True,
         return_weights: bool = False,
     ):
+        _check_no_attn_drop(self.attn_drop)
         d = x.shape[-1]
         qkv = nn.Dense(3 * d, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -114,6 +127,7 @@ class CrossAttention(nn.Module):
         deterministic: bool = True,
         return_weights: bool = False,
     ):
+        _check_no_attn_drop(self.attn_drop)
         d = x1.shape[-1]
         q = nn.Dense(d, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x1)
         kv = nn.Dense(2 * d, use_bias=self.qkv_bias, dtype=self.dtype, name="kv")(x2)
