@@ -8,6 +8,11 @@ every host with env.process_id/env.coordinator set, and jax.distributed wires
 DCN. No mp.spawn, no rendezvous files, no NCCL env plumbing.
 
 Job management (reference parity):
+  * SLURM self-submission — with ``env.slurm=true`` the launcher emits an
+    sbatch script (one task per host; jax.distributed coordinator on the
+    first node) and submits it, after the reference's ``squeue`` duplicate
+    name check (reference submitit submission, launcher.py:118-149).
+    ``env.slurm_dry_run=true`` writes the script without submitting;
   * duplicate-job suppression — an exclusive flock on
     ``{job_dir}/.launcher.lock`` refuses a second concurrent launch of the
     same job (reference ``squeue`` name check, launcher.py:119-123);
@@ -81,6 +86,99 @@ def supervise_with_requeue(argv: list[str], max_requeues: int) -> int:
     return rc
 
 
+def queued_job_names() -> list[str]:
+    """Names of the user's queued/running SLURM jobs (reference
+    launcher.py:99-100)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["squeue", "-o", "%j", "-u", os.environ.get("USER", "")],
+            capture_output=True, text=True, timeout=30,
+        ).stdout
+    except (OSError, subprocess.TimeoutExpired):
+        return []
+    return out.split("\n")
+
+
+def emit_sbatch(args, name: str, overrides: list[str], job_dir: str) -> str:
+    """Write {job_dir}/submit.sbatch — one launcher task per host, with the
+    jax.distributed coordinator on the first allocated node.
+
+    Mirrors the reference's submitit parameters (launcher.py:124-146):
+    partition, timeout, cpus, nodes, mem, nodelist/exclude, requeue with a
+    120 s SIGTERM warning (pairs with env.max_requeues + opt.resume for the
+    checkpoint_latest resume contract).
+    """
+    env = args.env
+    slurm_name = (f"{args.job_name}-{args.pretrain_job_name}"
+                  if args.get("pretrain_job_name") else str(args.job_name))
+    nodes = int(env.get("num_processes", 1) or 1)
+    lines = [
+        "#!/bin/bash",
+        f"#SBATCH --job-name={slurm_name}",
+        f"#SBATCH --nodes={nodes}",
+        "#SBATCH --ntasks-per-node=1",
+        f"#SBATCH --cpus-per-task={int(env.get('workers', 8) or 8)}",
+        f"#SBATCH --output={job_dir}/slurm_logs/%j_%t.out",
+        "#SBATCH --open-mode=append",
+        "#SBATCH --requeue",
+        "#SBATCH --signal=TERM@120",
+    ]
+    if env.get("slurm_partition"):
+        lines.append(f"#SBATCH --partition={env.slurm_partition}")
+    if env.get("slurm_timeout"):
+        lines.append(f"#SBATCH --time={int(env.slurm_timeout)}")
+    if env.get("mem_gb"):
+        lines.append(f"#SBATCH --mem={int(env.mem_gb)}G")
+    if env.get("nodelist"):
+        lines.append(f"#SBATCH --nodelist={env.nodelist}")
+    if env.get("exclude"):
+        lines.append(f"#SBATCH --exclude={env.exclude}")
+    ov = " ".join(o for o in overrides
+                  if not o.startswith(("env.slurm", "env.process_id",
+                                       "env.coordinator")))
+    port = int(env.get("coordinator_port", 12321) or 12321)
+    lines += [
+        "",
+        'COORD="$(scontrol show hostnames "$SLURM_JOB_NODELIST" '
+        '| head -n1):%d"' % port,
+        f"srun python {os.path.abspath(__file__)} --config-name {name} "
+        f"{ov} env.slurm=false "
+        'env.num_processes=$SLURM_NTASKS env.process_id=$SLURM_PROCID '
+        'env.coordinator=$COORD',
+        "",
+    ]
+    os.makedirs(os.path.join(job_dir, "slurm_logs"), exist_ok=True)
+    path = os.path.join(job_dir, "submit.sbatch")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    return path
+
+
+def submit_slurm(args, name: str, overrides: list[str], job_dir: str) -> int:
+    """squeue duplicate check → emit sbatch → submit (unless dry-run)."""
+    import subprocess
+
+    slurm_name = (f"{args.job_name}-{args.pretrain_job_name}"
+                  if args.get("pretrain_job_name") else str(args.job_name))
+    if slurm_name in queued_job_names():
+        print(f"Skipping {args.job_name} because already in queue")
+        return 0
+    path = emit_sbatch(args, name, overrides, job_dir)
+    if args.env.get("slurm_dry_run"):
+        print(f"sbatch script written (dry run): {path}")
+        return 0
+    try:
+        r = subprocess.run(["sbatch", path], capture_output=True, text=True)
+    except OSError as e:
+        print(f"sbatch unavailable ({e}); script left at {path}",
+              file=sys.stderr)
+        return 4
+    print((r.stdout or r.stderr).strip())
+    return r.returncode
+
+
 def main(argv=None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
     name = "deepavfusion"
@@ -97,6 +195,10 @@ def main(argv=None) -> None:
     # eval jobs nest under the pretraining job dir (reference launcher.py:108-109)
     if args.get("pretrain_job_name"):
         args["output_dir"] = f"{args.output_dir}/{args.pretrain_job_name}"
+
+    if args.env.get("slurm") and not os.environ.get("SLURM_JOB_ID"):
+        job_dir = f"{args.output_dir}/{args.job_name}"
+        sys.exit(submit_slurm(args, name, argv, job_dir))
 
     max_requeues = int(args.env.get("max_requeues", 0) or 0)
     if max_requeues > 0 and not os.environ.get("_DAVF_LAUNCHER_WORKER"):

@@ -82,6 +82,49 @@ def test_real_failure_not_requeued(tmp_path):
     assert "no requeue" in r.stderr
 
 
+def test_slurm_emit_dry_run(tmp_path):
+    """env.slurm=true emits a complete sbatch script (reference submitit
+    submission surface, launcher.py:118-149); dry-run never calls sbatch."""
+    cmd = [sys.executable, LAUNCHER, "--config-name", "linprobe",
+           f"output_dir={tmp_path}", "job_name=slurmjob",
+           "env.slurm=true", "env.slurm_dry_run=true",
+           "env.num_processes=4", "env.slurm_partition=tpu",
+           "env.slurm_timeout=120", "env.mem_gb=240",
+           "env.exclude=badnode1", "env.workers=15"]
+    r = subprocess.run(cmd, env=_env_with(tmp_path), capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0, (r.returncode, r.stderr)
+    script = (tmp_path / "slurmjob" / "submit.sbatch").read_text()
+    for frag in ("#SBATCH --job-name=slurmjob", "#SBATCH --nodes=4",
+                 "#SBATCH --partition=tpu", "#SBATCH --time=120",
+                 "#SBATCH --mem=240G", "#SBATCH --exclude=badnode1",
+                 "#SBATCH --cpus-per-task=15", "#SBATCH --requeue",
+                 "#SBATCH --signal=TERM@120",
+                 "env.num_processes=$SLURM_NTASKS",
+                 "env.process_id=$SLURM_PROCID",
+                 "env.coordinator=$COORD", "env.slurm=false"):
+        assert frag in script, frag
+
+
+def test_slurm_duplicate_queue_skip(tmp_path, monkeypatch):
+    """A job whose SLURM name is already queued is skipped (reference
+    launcher.py:119-123)."""
+    import launcher
+
+    monkeypatch.setattr(launcher, "queued_job_names",
+                        lambda: ["otherjob", "slurmjob"])
+    called = {}
+    monkeypatch.setattr(launcher, "emit_sbatch",
+                        lambda *a, **k: called.setdefault("emit", True))
+    try:
+        launcher.main(["--config-name", "linprobe",
+                       f"output_dir={tmp_path}", "job_name=slurmjob",
+                       "env.slurm=true"])
+    except SystemExit as e:
+        assert e.code == 0
+    assert "emit" not in called
+
+
 def test_launcher_dispatches_worker(tmp_path, monkeypatch):
     import launcher
 
