@@ -40,8 +40,11 @@ except Exception:  # pragma: no cover
 # --------------------------------------------------------------------------- #
 def _np(t) -> np.ndarray:
     if torch is not None and isinstance(t, torch.Tensor):
-        return t.detach().cpu().float().numpy()
-    return np.asarray(t, dtype=np.float32)
+        # .numpy() SHARES storage with the live torch tensor (and jnp.asarray
+        # on CPU can keep that zero-copy alias) — an optimizer.step() on the
+        # torch side would silently mutate the "converted" arrays. Copy.
+        return t.detach().cpu().float().numpy().copy()
+    return np.array(t, dtype=np.float32, copy=True)
 
 
 def linear(sd: Mapping, prefix: str, bias: bool = True) -> dict:

@@ -57,6 +57,8 @@ def load_reference() -> types.SimpleNamespace:
     ns = types.SimpleNamespace()
     for m in _MODULES:
         setattr(ns, m, importlib.import_module(f"models.{m}"))
+    # the reference's schedule/param-group code (train-step parity oracle)
+    ns.lr_sched = importlib.import_module("util.lr_sched")
 
     _register_tiny_archs(ns)
     _loaded = ns

@@ -11,6 +11,6 @@ the reference's *actual* model classes as the oracle (VERDICT round-2 item 1).
 
 This shim is test-only; nothing in deepavfusion_tpu imports it.
 """
-from . import models  # noqa: F401
+from . import models, optim  # noqa: F401
 
 __version__ = "0.9.16+shim"
