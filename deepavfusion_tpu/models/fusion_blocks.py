@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import os
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -163,6 +164,38 @@ class _XAttnParams(nn.Module):
             _DenseParams(2 * self.dim, self.dim, self.qkv_bias, name="kv")(),
             _DenseParams(self.dim, self.dim, True, name="proj")(),
         )
+
+
+class _LNParams(nn.Module):
+    """Parameter shell matching ``nn.LayerNorm``'s tree (scale ones, bias
+    zeros — deterministic inits, so shell and real module are
+    indistinguishable at any param path)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class _FactorizedParams(nn.Module):
+    """Shell for FactorizedAVInteractionsAttention's full tree — used by the
+    fused-block route to fetch every weight for the Pallas megakernel."""
+
+    dim: int
+    inner: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        pv = _XAttnParams(self.dim, self.qkv_bias, name="attn_v")()
+        pa = _XAttnParams(self.dim, self.qkv_bias, name="attn_a")()
+        q = _DenseParams(self.inner, self.dim, self.qkv_bias, name="q")()
+        k = _DenseParams(self.inner, 2 * self.dim, self.qkv_bias, name="k")()
+        v = _DenseParams(self.dim, 2 * self.dim, self.qkv_bias, name="v")()
+        proj = _DenseParams(self.dim, self.dim, True, name="proj")()
+        return pv, pa, q, k, v, proj
 
 
 class LocalAVTokensAttention(nn.Module):
@@ -400,6 +433,18 @@ class FactorizedAVInteractionsAttention(nn.Module):
         return (out, w) if return_weights else out
 
 
+class _MlpParams(nn.Module):
+    """Shell matching ``layers.Mlp``'s tree (fc1/fc2)."""
+
+    hidden: int
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (_DenseParams(self.hidden, self.dim, True, name="fc1")(),
+                _DenseParams(self.dim, self.hidden, True, name="fc2")())
+
+
 class FusionBlock(nn.Module):
     """Pre-norm fusion block wrapper (norm_mm/norm_aud/norm_img → arch
     attention → residual-on-normed → norm2 → MLP → residual).
@@ -408,6 +453,15 @@ class FusionBlock(nn.Module):
     trunk does: __call__(x_fusion, x_image, x_audio)
     (reference deepavfusion.py:106) — the per-arch wiring swaps documented in
     the module docstring happen inside.
+
+    On TPU the whole factorized block (norms + aggregate attentions + pair
+    attention + projections + residuals + MLP) runs as ONE fused Pallas
+    kernel per direction (ops/pallas/fusion_block.py) whenever no dropout is
+    active — the unfused block is hundreds of sub-MXU-sized XLA ops and was
+    measured at 31% of the pretrain step for a few percent of its FLOPs
+    (NOTES.md r3). The fused route declares an identical parameter tree
+    (shell modules), so checkpoints, init values, and the parity tests are
+    unaffected. DAVF_NO_FUSED_BLOCK=1 disables the route (trace-time).
     """
 
     arch: str
@@ -431,6 +485,10 @@ class FusionBlock(nn.Module):
         return_weights: bool = False,
     ):
         d = x_fusion.shape[-1]
+        if (self.arch == "factorized_mmi"
+                and self._fused_route(x_fusion, x_image, x_audio,
+                                      deterministic, return_weights)):
+            return self._fused_factorized(x_fusion, x_image, x_audio)
         norm_mm = layer_norm(FUSION_NORM_EPS, self.dtype, "norm1_mm")
         norm_aud = layer_norm(FUSION_NORM_EPS, self.dtype, "norm1_aud")
         norm_img = layer_norm(FUSION_NORM_EPS, self.dtype, "norm1_img")
@@ -481,3 +539,85 @@ class FusionBlock(nn.Module):
         )
         xmm = xmm + DropPath(self.drop_path)(y, deterministic=deterministic)
         return xmm
+
+    # ------------------------------------------------------------------ #
+    # Fused whole-block Pallas route (factorized_mmi only)
+    # ------------------------------------------------------------------ #
+    def _fused_route(self, x_fusion, x_image, x_audio, deterministic,
+                     return_weights) -> bool:
+        """Trace-time routing decision for the fused megakernel.
+
+        Requires: no attention-map request, qkv biases present (always true
+        for the trunk, deepavfusion.py), no ACTIVE dropout (all shipped
+        pretrain configs run drop=drop_path=0), non-empty sources (an empty
+        key set must produce exact zeros via the unbatched branch), a TPU
+        default backend, and a VMEM-feasible batch tile for BOTH kernel
+        directions."""
+        if _env_flag("DAVF_NO_FUSED_BLOCK") or _env_flag("DAVF_NO_PALLAS"):
+            return False
+        if return_weights or not self.qkv_bias:
+            return False
+        if not deterministic and (self.drop != 0.0 or self.drop_path != 0.0):
+            return False
+        if x_image.shape[1] == 0 or x_audio.shape[1] == 0:
+            return False
+        if sum(self.fusion_tkns) != x_fusion.shape[1]:
+            return False
+        # DAVF_FUSED_BLOCK=1 forces the route on any backend — safe, because
+        # non-TPU *lowerings* take the platform_dependent XLA fallback; used
+        # by the CPU tests to exercise the fused declaration path.
+        if not (attn_ops._on_tpu() or _env_flag("DAVF_FUSED_BLOCK")):
+            return False
+        from ..ops.pallas import fusion_block as fused
+
+        d = x_fusion.shape[-1]
+        return fused.fits(
+            x_fusion.shape[0], self.fusion_tkns, x_image.shape[1],
+            x_audio.shape[1], d, int(d * self.attn_ratio),
+            int(d * self.mlp_ratio), self.num_heads,
+            jnp.dtype(self.dtype).itemsize,
+        )
+
+    def _fused_factorized(self, x_fusion, x_image, x_audio):
+        """Declare the identical parameter tree via shells and run the whole
+        block as one Pallas kernel per direction. The non-TPU lowering
+        branch (multi-platform serving exports, init under a CPU default
+        device) runs the same math as plain XLA ops (_forward_core)."""
+        from ..ops.pallas import fusion_block as fused
+
+        d = x_fusion.shape[-1]
+        inner = int(d * self.attn_ratio)
+        g_mm, b_mm = _LNParams(d, name="norm1_mm")()
+        g_aud, b_aud = _LNParams(d, name="norm1_aud")()
+        g_img, b_img = _LNParams(d, name="norm1_img")()
+        pv, pa, q, k, v, proj = _FactorizedParams(
+            d, inner, self.qkv_bias, name="attn")()
+        g2, b2 = _LNParams(d, name="norm2")()
+        fc1, fc2 = _MlpParams(int(d * self.mlp_ratio), d, name="mlp")()
+        ptuple = (
+            g_mm, b_mm, g_img, b_img, g_aud, b_aud,
+            pv[0][0], pv[0][1], pv[1][0], pv[1][1], pv[2][0], pv[2][1],
+            pa[0][0], pa[0][1], pa[1][0], pa[1][1], pa[2][0], pa[2][1],
+            q[0], q[1], k[0], k[1], v[0], v[1], proj[0], proj[1],
+            g2, b2, fc1[0], fc1[1], fc2[0], fc2[1],
+        )
+        scale = (d // self.num_heads) ** -0.5  # quirk #4: unreduced head dim
+        dt = self.dtype
+        xf = x_fusion.astype(dt)
+        xi = x_image.astype(dt)
+        xa = x_audio.astype(dt)
+
+        def on_tpu(xf, xi, xa):
+            return fused.fused_factorized_block(
+                xf, xi, xa, ptuple, num_heads=self.num_heads,
+                fusion_tkns=self.fusion_tkns, scale=scale,
+                eps=FUSION_NORM_EPS)
+
+        def fallback(xf, xi, xa):
+            cfg = (self.num_heads, *self.fusion_tkns, float(scale),
+                   float(FUSION_NORM_EPS))
+            return fused._forward_core(
+                xf, xi, xa, fused._prep(ptuple, xf.dtype), cfg)[0]
+
+        return jax.lax.platform_dependent(xf, xi, xa, tpu=on_tpu,
+                                          default=fallback)
