@@ -7,7 +7,19 @@ worker is launched as N real OS processes (CPU backend, 4 virtual devices
 each) and exercises the reference-equivalent distributed path for real
 (reference util/distributed.py:66-127).
 
-Usage: python tests/mp_worker.py OUT.json COORD NPROC PID
+Usage: python tests/mp_worker.py OUT.json COORD NPROC PID [MODE] [CKPT_DIR]
+
+MODE (default "dp"):
+  * dp            — DP train steps + host_gather (original behavior)
+  * tp            — dp2 × mp(ndev/2) tensor-parallel mesh across the REAL
+                    processes (Megatron-style tp_shard_params, inferred-
+                    sharding step); losses must equal the dp run
+                    (VERDICT r3 item 5)
+  * resume_save   — run 2 DP steps, rank 0 writes an orbax checkpoint
+  * resume_continue — restore that checkpoint on a DIFFERENT topology
+                    (fewer processes/devices) and run step 3
+  * dp3           — 3-step single-process baseline for resume_continue
+
 With NPROC=1 it runs the single-process baseline of the same computation
 (same global batch layout — see `host_rows`), so the test can assert the
 2-process losses equal the 1-process losses.
@@ -59,6 +71,8 @@ def host_rows(n, pc):
 
 def main():
     out_fn, coord, nproc, pid = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "dp"
+    ckpt_dir = sys.argv[6] if len(sys.argv) > 6 else None
 
     from deepavfusion_tpu.parallel import mesh as mesh_lib
 
@@ -72,6 +86,12 @@ def main():
     from deepavfusion_tpu.train import pretrain
 
     world_batch, steps = 8, 2
+    if mode == "dp3":
+        steps = 3
+    elif mode == "resume_save":
+        steps = 2
+    elif mode == "resume_continue":
+        steps = 1
     db = ToyDataset(world_batch)
     dl = loader_lib.DataLoader(db, batch_size=world_batch // nproc,
                                shuffle=False, drop_last=True, workers=1,
@@ -88,10 +108,34 @@ def main():
         dtype=jnp.float32, steps_per_epoch=10.0)
     model = pretrain.build_model(cfg)
     params = pretrain.init_params(model, cfg, seed=0)
-    mesh = mesh_lib.make_mesh({"data": 4 * nproc})
-    _, state, step_fn, _ = pretrain.make_pretrain_step(
-        model, params, cfg, world_batch, mesh=mesh)
-    state = mesh_lib.replicate(state, mesh)
+    if mode == "tp":
+        # dp2 × mp(ndev/2) across the REAL processes: Megatron-style param
+        # placement + inferred-sharding step (VERDICT r3 item 5). Same math
+        # → losses must equal the dp run bit-for-near (f32, highest prec).
+        mesh = mesh_lib.make_mesh({"data": 2, "model": 2 * nproc})
+        _, state, step_fn, _ = pretrain.make_pretrain_step(
+            model, params, cfg, world_batch, mesh=None)
+        state = state.replace(
+            params=mesh_lib.tp_shard_params(state.params, mesh),
+            opt_state=mesh_lib.replicate(state.opt_state, mesh),
+            step=mesh_lib.replicate(state.step, mesh),
+        )
+    else:
+        mesh = mesh_lib.make_mesh({"data": 4 * nproc})
+        _, state, step_fn, _ = pretrain.make_pretrain_step(
+            model, params, cfg, world_batch, mesh=mesh)
+        state = mesh_lib.replicate(state, mesh)
+
+    if mode == "resume_continue":
+        # Restore a checkpoint written by a DIFFERENT topology (2 procs ×
+        # 4 devs, dp8) onto this one (1 proc, dp4) — the elastic-resume
+        # contract, now across REAL process boundaries.
+        from deepavfusion_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir, save_freq=0)
+        restored, epoch = mgr.resume(jax.device_get(state))
+        assert epoch == 1, epoch
+        state = mesh_lib.replicate(restored, mesh)
 
     # In the nproc=1 baseline, lay the global batch out in the same row
     # order the multi-host assembly produces, so the two runs are the same
@@ -104,10 +148,17 @@ def main():
     gbatch = mesh_lib.shard_batch(batch, mesh)
     assert gbatch["image"].shape == (world_batch, 32, 32, 3), gbatch["image"].shape
 
+    key_base = 123 + (2 if mode == "resume_continue" else 0)
     losses = []
     for s in range(steps):
-        state, m = step_fn(state, gbatch, jax.random.key(123 + s))
+        state, m = step_fn(state, gbatch, jax.random.key(key_base + s))
         losses.append(float(jax.device_get(m["loss"])))
+
+    if mode == "resume_save" and pid == 0:
+        from deepavfusion_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir, save_freq=0)
+        mgr.save(epoch=1, state=jax.device_get(state))
 
     # host_gather (reference concat_all_gather): per-host features →
     # all hosts see the full set, tiled in host order.
