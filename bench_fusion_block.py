@@ -91,14 +91,22 @@ def main():
         rows[f"{mode}_fwd_us"] = round(time_chained(fwd, xf) * 1e6, 1)
         outs[mode] = jax.device_get(jax.jit(fwd)(xf)).astype(np.float32)
 
-        def loss(c):
-            return fwd(c).astype(jnp.float32).sum()
+        def loss(c, p):
+            return mod.apply({"params": p}, c, xi, xa).astype(
+                jnp.float32).sum()
 
-        g = jax.grad(loss)
-        grads[mode] = jax.device_get(jax.jit(g)(xf)).astype(np.float32)
+        # grads wrt inputs AND params — without the param grads XLA DCEs
+        # most of the unfused backward (the fused custom VJP always computes
+        # them), which made the first isolated A/B unfairly favor XLA.
+        g = jax.grad(loss, argnums=(0, 1))
+        grads[mode] = jax.device_get(
+            jax.jit(lambda c: g(c, params)[0])(xf)).astype(np.float32)
 
         def gstep(c):
-            return c + 1e-6 * g(c).astype(c.dtype)
+            dc, dp = g(c, params)
+            leaves = jax.tree_util.tree_leaves(dp)
+            s = sum(l.astype(jnp.float32).sum() for l in leaves)
+            return c + 1e-6 * dc.astype(c.dtype) + 0.0 * s.astype(c.dtype)
 
         rows[f"{mode}_fwdbwd_us"] = round(time_chained(gstep, xf) * 1e6, 1)
         print(f"{mode}: {rows}", file=sys.stderr)

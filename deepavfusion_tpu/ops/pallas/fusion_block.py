@@ -450,9 +450,19 @@ def _bwd_kernel(*refs, cfg):
 # --------------------------------------------------------------------------- #
 # VMEM planning
 # --------------------------------------------------------------------------- #
-_FWD_BUDGET = 48 * 1024 * 1024
-_BWD_BUDGET = 88 * 1024 * 1024
-_VMEM_LIMIT = 110 * 1024 * 1024
+# Budgets are in ESTIMATOR units (the _act_bytes/_weights_bytes sum counts
+# every buffer as simultaneously live; Mosaic's stack allocator reuses dead
+# temporaries, so real allocation runs ~1.5x below the estimate — measured
+# on the v5e: pretrain-shape bwd tile 16 estimates 174.7 MiB and allocates
+# 116.13 MiB against the 127 MiB cap). Calibration (B=64 ViT-B pretrain
+# shape, bf16, r4 A/B):
+#   fwd:  tile 8 = 343.5 us, tile 16 = 420.1 us  → budget set to pick 8
+#   bwd:  tile 8 = 507 us,   tile 16 = 361 us    → budget set to pick 16
+#         (tile 32 estimates 301 MiB → ~200 MiB real: cannot fit)
+_FWD_BUDGET = 60 * 1024 * 1024
+_BWD_BUDGET = 190 * 1024 * 1024
+# Scoped-VMEM cap for the fused kernels (v5e physical VMEM is 128 MiB).
+_VMEM_LIMIT = 127 * 1024 * 1024
 
 
 def _param_shapes(d, inner, hidden):
@@ -506,14 +516,11 @@ def _act_bytes(bt, tkns, nv, na, d, inner, hidden, h, item, bwd):
     return total
 
 
-_FUDGE = 1.2   # allocator overhead the working-set arithmetic can't see
-
-
 def plan_tiles(b, tkns, nv, na, d, inner, hidden, h, itemsize):
     """(bt_fwd, bt_bwd): the largest batch tiles (divisors of b, <=32) whose
-    padded working sets fit the per-direction budgets; None where nothing
-    fits (the directions differ: the backward additionally holds the f32
-    parameter-gradient accumulators resident)."""
+    estimator-unit working sets fit the per-direction budgets; None where
+    nothing fits (the directions differ: the backward additionally holds the
+    f32 parameter-gradient accumulators resident)."""
     item = max(min(itemsize, 4), 2)
     wb = _weights_bytes(d, inner, hidden, item)
     wb_bwd = wb + _weights_bytes(d, inner, hidden, 4)
@@ -525,9 +532,9 @@ def plan_tiles(b, tkns, nv, na, d, inner, hidden, h, itemsize):
                               False)
         bwd = wb_bwd + _act_bytes(bt, tkns, nv, na, d, inner, hidden, h,
                                   item, True)
-        if bt_fwd is None and fwd * _FUDGE <= _FWD_BUDGET:
+        if bt_fwd is None and fwd <= _FWD_BUDGET:
             bt_fwd = bt
-        if bt_bwd is None and bwd * _FUDGE <= _BWD_BUDGET:
+        if bt_bwd is None and bwd <= _BWD_BUDGET:
             bt_bwd = bt
     return bt_fwd, bt_bwd
 
