@@ -82,10 +82,37 @@ class MetricsLogger:
         if not force and step != 0 and (step - self.last_step) < self.print_freq:
             return
         self.last_step = step
-        clean = {k: (float(v) if hasattr(v, "__float__") else v)
-                 for k, v in metrics.items()}
+        import numpy as np
+
+        clean = {}
+        hists = {}
+        for k, v in metrics.items():
+            if getattr(v, "ndim", 0) or isinstance(v, (list, tuple)):
+                # vector metric: an in-graph histogram (trainer grad_hist/*,
+                # log10|g| counts over GRAD_HIST_EDGES — the wandb.watch
+                # histogram analogue, reference util/misc.py:208-209)
+                hists[k] = np.asarray(v)
+            elif hasattr(v, "__float__"):
+                clean[k] = float(v)
+            else:
+                clean[k] = v
         if self.jsonl is not None:
-            self.jsonl.write(json.dumps({"step": step, **clean}) + "\n")
+            self.jsonl.write(json.dumps(
+                {"step": step, **clean,
+                 **{k: h.tolist() for k, h in hists.items()}}) + "\n")
             self.jsonl.flush()
         if self.wandb is not None:
-            self.wandb.log(clean, step=step)
+            payload = dict(clean)
+            if hists:
+                import wandb
+
+                from .trainer import GRAD_HIST_EDGES
+
+                edges = np.asarray(GRAD_HIST_EDGES)
+                for k, h in hists.items():
+                    try:
+                        payload[k] = wandb.Histogram(
+                            np_histogram=(h.tolist(), edges.tolist()))
+                    except Exception:
+                        payload[k] = h.tolist()
+            self.wandb.log(payload, step=step)

@@ -41,6 +41,11 @@ class TrainState(struct.PyTreeNode):
                    opt_state=tx.init(params), model_state=model_state or {})
 
 
+# log10(|grad|) histogram bin edges for the wandb.watch analogue — 16 bins
+# spanning denormal-adjacent to huge (values clip into the end bins).
+GRAD_HIST_EDGES = tuple(float(x) for x in range(-12, 5))
+
+
 def global_norm(tree) -> jnp.ndarray:
     return optax.global_norm(tree)
 
@@ -128,11 +133,19 @@ def make_train_step(
         metrics = dict(metrics)
         metrics["grad_norm"] = gn
         if watch_gradients:
-            # per-top-level-module gradient norms — the TPU-native analogue
-            # of wandb.watch gradient histograms (reference util/misc.py:
-            # 208-209), computed in-graph at negligible cost
+            # per-top-level-module gradient norms AND log-magnitude
+            # histograms — the wandb.watch analogue (reference
+            # util/misc.py:208-209), computed in-graph (one extra pass over
+            # the gradients when the watch flag is on)
             for k, v in grads.items():
                 metrics[f"grad_norm/{k}"] = global_norm(v)
+                counts = None
+                for leaf in jax.tree_util.tree_leaves(v):
+                    lg = jnp.log10(
+                        jnp.abs(leaf.astype(jnp.float32)).ravel() + 1e-30)
+                    c, _ = jnp.histogram(lg, bins=jnp.asarray(GRAD_HIST_EDGES))
+                    counts = c if counts is None else counts + c
+                metrics[f"grad_hist/{k}"] = counts.astype(jnp.float32)
         return new_state, metrics
 
     if mesh is not None:

@@ -38,6 +38,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+if os.environ.get("DAVF_XLA_CACHE"):   # persistent compile cache (conftest)
+    os.makedirs(os.environ["DAVF_XLA_CACHE"], exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["DAVF_XLA_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

@@ -145,8 +145,12 @@ def main_worker(args) -> dict:
         m["lr"] = float(lr_fn(pstep))
         if not np.isfinite(m["loss"]):
             raise RuntimeError(f"Loss is {m['loss']}, stopping training")
-        logger.update(n=cfg.batch_size, **m)
-        wb.log(logger.latest(), step=pstep)
+        # vector metrics (grad_hist/* from watch_gradients) bypass the
+        # scalar meters and go straight to the sink as histograms
+        hists = {k: v for k, v in m.items() if getattr(v, "ndim", 0)}
+        logger.update(n=cfg.batch_size,
+                      **{k: v for k, v in m.items() if k not in hists})
+        wb.log({**logger.latest(), **hists}, step=pstep)
 
     for epoch in range(start_epoch, epochs):
         logger = meters.MetricLogger()
