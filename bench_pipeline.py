@@ -145,8 +145,6 @@ def main():
 
     e2e_cps = steps * batch / e2e_wall
     ctrl_cps = steps * batch / ctrl_wall
-    host_cps_core = e2e_cps / max(workers, 1) if e2e_wait > 0.05 * e2e_wall \
-        else float("nan")
     # sustained host rate per core: when the loop is host-bound the e2e rate
     # IS the aggregate host rate; per-core = that / workers (1 on this VM)
     host_rate = steps * batch / max(e2e_wall, 1e-9)

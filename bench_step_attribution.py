@@ -64,11 +64,26 @@ def main():
 
     rows = {}
 
-    def chain(fn, carry, n=iters, label=""):
+    def chain(fn, carry, n=iters, label="", donate=False, retries=2):
+        """One segment; tolerant of the remote compile service's known
+        broken-pipe drops (retry) and records a null row on give-up so the
+        remaining segments still run."""
+        for attempt in range(retries + 1):
+            try:
+                return _chain(fn, carry, n, label, donate)
+            except Exception as e:  # noqa: BLE001 — remote compile flake
+                print(f"{label}: attempt {attempt} failed: "
+                      f"{str(e)[:200]}", file=sys.stderr)
+                time.sleep(30 * (attempt + 1))
+        rows[label] = None
+        return None
+
+    def _chain(fn, carry, n, label, donate):
         def body(c, _):
             return fn(c), ()
 
-        f = jax.jit(lambda c: jax.lax.scan(body, c, None, length=n)[0])
+        f = jax.jit(lambda c: jax.lax.scan(body, c, None, length=n)[0],
+                    donate_argnums=(0,) if donate else ())
         out = f(carry)
         _ = np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
         t0 = time.perf_counter()
@@ -79,12 +94,10 @@ def main():
         print(f"{label}: {ms:.3f} ms", file=sys.stderr)
         return ms
 
-    # ---- full optimizer step ------------------------------------------- #
-    def full(st):
-        st2, _ = step_body(st, batch_tree, jax.random.key(7))
-        return st2
-
-    chain(full, state, label="full_step")
+    # NB: the full-step and adamw chains DONATE their carries (the train
+    # state is ~4 GB f32 on a 16 GB chip — without donation the chain holds
+    # two copies and OOMs), so they run LAST, after every segment that
+    # still needs state.params.
 
     # ---- forward only / forward+grads ---------------------------------- #
     def loss_of(p, key):
@@ -107,58 +120,11 @@ def main():
     chain(fwd, state.params, label="fwd")
     chain(fwdbwd, state.params, label="fwdbwd")
 
-    # ---- optimizer only (fixed grads) ----------------------------------- #
-    import optax
-
-    grads = jax.jit(gradfn)(state.params, jax.random.key(7))
-
-    def adamw2(carry):
-        prm, opt = carry
-        upd, opt2 = tx.update(grads, opt, prm)
-        return (optax.apply_updates(prm, upd), opt2)
-
-    opt_state = tx.init(state.params)
-    chain(adamw2, (state.params, opt_state), label="adamw")
-
-    # ---- encoder on visible tokens -------------------------------------- #
-    enc = model.cfg.encoder
-    li, la = enc.image.num_patches, enc.audio.num_patches
-    ik = mask_ops.random_masking(jax.random.key(1), batch, li, 0.75).ids_keep
-    ak = mask_ops.random_masking(jax.random.key(2), batch, la, 0.8).ids_keep
-    from deepavfusion_tpu.models import deepavfusion as trunk_mod
-
-    trunk = trunk_mod.DeepAVFusion(enc, dtype=jnp.bfloat16)
-    tparams = {"params": state.params["encoder"]}
-
-    def enc_fwd(x):
-        xi, xa, xf = trunk.apply(tparams, x["image"], x["audio"],
-                                 image_ids_keep=ik, audio_ids_keep=ak,
-                                 deterministic=False,
-                                 rngs={"dropout": jax.random.key(3)})
-        s = (xi.astype(jnp.float32).mean() + xa.astype(jnp.float32).mean()
-             + xf.astype(jnp.float32).mean())
-        return jax.tree.map(lambda v: v * (1.0 + 0.0 * s.astype(v.dtype)), x)
-
-    def enc_loss(p, x):
-        xi, xa, xf = trunk.apply({"params": p}, x["image"], x["audio"],
-                                 image_ids_keep=ik, audio_ids_keep=ak,
-                                 deterministic=False,
-                                 rngs={"dropout": jax.random.key(3)})
-        return (xi.astype(jnp.float32).mean()
-                + xa.astype(jnp.float32).mean()
-                + xf.astype(jnp.float32).mean())
-
-    egrad = jax.grad(enc_loss)
-
-    def enc_fwdbwd(p):
-        g = egrad(p, batch_tree)
-        return jax.tree.map(lambda v, gv: v + 1e-9 * gv.astype(v.dtype), p, g)
-
-    chain(enc_fwd, batch_tree, label="enc_fwd")
-    chain(enc_fwdbwd, state.params["encoder"], label="enc_fwdbwd")
-
     # ---- decoders at full token count ------------------------------------ #
     from deepavfusion_tpu.models import avmae as avmae_mod
+
+    enc = model.cfg.encoder
+    li, la = enc.image.num_patches, enc.audio.num_patches
 
     for name, key_, n_vis, n_tot in (("dec_img", "image_decoder",
                                       li - int(li * 0.75), li),
@@ -202,12 +168,77 @@ def main():
         chain(dec_fwd, x, label=f"{name}_fwd")
         chain(dec_fwdbwd, dparams, label=f"{name}_fwdbwd")
 
-    rows["bwd_derived"] = round(rows["fwdbwd"] - rows["fwd"], 3)
-    rows["update_tail_derived"] = round(rows["full_step"] - rows["fwdbwd"], 3)
-    rows["decoders_fwdbwd"] = round(rows["dec_img_fwdbwd"]
-                                    + rows["dec_aud_fwdbwd"], 3)
-    rows["residual_fwdbwd"] = round(
-        rows["fwdbwd"] - rows["enc_fwdbwd"] - rows["decoders_fwdbwd"], 3)
+    # ---- encoder on visible tokens -------------------------------------- #
+    ik = mask_ops.random_masking(jax.random.key(1), batch, li, 0.75).ids_keep
+    ak = mask_ops.random_masking(jax.random.key(2), batch, la, 0.8).ids_keep
+    from deepavfusion_tpu.models import deepavfusion as trunk_mod
+
+    trunk = trunk_mod.DeepAVFusion(enc, dtype=jnp.bfloat16)
+    tparams = {"params": state.params["encoder"]}
+
+    def enc_fwd(x):
+        xi, xa, xf = trunk.apply(tparams, x["image"], x["audio"],
+                                 image_ids_keep=ik, audio_ids_keep=ak,
+                                 deterministic=False,
+                                 rngs={"dropout": jax.random.key(3)})
+        s = (xi.astype(jnp.float32).mean() + xa.astype(jnp.float32).mean()
+             + xf.astype(jnp.float32).mean())
+        return jax.tree.map(lambda v: v * (1.0 + 0.0 * s.astype(v.dtype)), x)
+
+    def enc_loss(p, x):
+        xi, xa, xf = trunk.apply({"params": p}, x["image"], x["audio"],
+                                 image_ids_keep=ik, audio_ids_keep=ak,
+                                 deterministic=False,
+                                 rngs={"dropout": jax.random.key(3)})
+        return (xi.astype(jnp.float32).mean()
+                + xa.astype(jnp.float32).mean()
+                + xf.astype(jnp.float32).mean())
+
+    egrad = jax.grad(enc_loss)
+
+    def enc_fwdbwd(p):
+        g = egrad(p, batch_tree)
+        return jax.tree.map(lambda v, gv: v + 1e-9 * gv.astype(v.dtype), p, g)
+
+    chain(enc_fwd, batch_tree, label="enc_fwd", retries=0)
+    chain(enc_fwdbwd, state.params["encoder"], label="enc_fwdbwd", retries=0)
+
+    # ---- optimizer only (fixed grads) — donated carry -------------------- #
+    import optax
+
+    grads = jax.jit(gradfn)(state.params, jax.random.key(7))
+
+    def adamw2(carry):
+        prm, opt = carry
+        upd, opt2 = tx.update(grads, opt, prm)
+        return (optax.apply_updates(prm, upd), opt2)
+
+    # donate COPIES so state.params stays alive for the full-step chain
+    prm_copy = jax.jit(lambda p: jax.tree.map(lambda x: x * 1, p))(
+        state.params)
+    opt_state = tx.init(prm_copy)
+    chain(adamw2, (prm_copy, opt_state), label="adamw", donate=True)
+    del grads
+
+    # ---- full optimizer step — donated carry, must run LAST ------------- #
+    def full(st):
+        st2, _ = step_body(st, batch_tree, jax.random.key(7))
+        return st2
+
+    chain(full, state, label="full_step", donate=True)
+
+    def derive(name, fn):
+        try:
+            rows[name] = round(fn(), 3)
+        except TypeError:   # a contributing segment failed to compile
+            rows[name] = None
+
+    derive("bwd_derived", lambda: rows["fwdbwd"] - rows["fwd"])
+    derive("update_tail_derived", lambda: rows["full_step"] - rows["fwdbwd"])
+    derive("decoders_fwdbwd", lambda: rows["dec_img_fwdbwd"]
+           + rows["dec_aud_fwdbwd"])
+    derive("residual_fwdbwd", lambda: rows["fwdbwd"] - rows["enc_fwdbwd"]
+           - rows["decoders_fwdbwd"])
 
     print(json.dumps({
         "metric": "pretrain step attribution",

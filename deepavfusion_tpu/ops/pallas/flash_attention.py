@@ -174,7 +174,8 @@ def _plan_fwd_tiled(nq, nk, dh, dhv, itemsize, budget=_TILED_BUDGET):
 def _plan_bwd_tiled(nq, nk, dh, dhv, itemsize, budget=_TILED_BUDGET):
     """(bq, bk) for the Q-tiled backward, or None if nothing fits."""
     item = min(itemsize, 4)
-    fixed0 = (2 * (_vbytes(nk, dh, item) + _vbytes(nk, dhv, item))   # k/v in
+    fixed0 = (2 * (_vbytes(nk, dh, item) + _vbytes(nk, dhv, item))   # k/vt in
+              + 2 * _vbytes(dh, nk, item)                            # kt in
               + _vbytes(nk, dh, 4) + _vbytes(nk, dhv, 4)             # scratch
               + 2 * (_vbytes(nk, dh, item) + _vbytes(nk, dhv, item)))  # dk/dv
     for bq in _bq_candidates(nq):
@@ -418,19 +419,24 @@ def _bwd_kernel_nolse(q_ref, k_ref, kt_ref, vt_ref, o_ref, do_ref,
 # bounds live temps to ONE chunk regardless of chunk count. The ragged
 # tail chunk (nk % bk) runs once, statically, after the loop.
 # --------------------------------------------------------------------------- #
-def _fwd_kernel_tiled(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+def _fwd_kernel_tiled(q_ref, kt_ref, v_ref, o_ref, lse_ref, *, scale: float,
                       bk: int):
     """Online-softmax forward: one Q-row block resident, logits in KV chunks.
 
-    Base-2 softmax, native-dtype matmul inputs (see the _LOG2E/v4 note)."""
+    Base-2 softmax, native-dtype matmul inputs (see the _LOG2E/v4 note).
+    K arrives TRANSPOSED — (HG, Dh, Nk), the (k, n) rhs layout the MXU
+    wants for QKᵀ (the r3 one-shot A/B measured the natural layout's
+    internal transpose at ~100 us per matmul at the dec shape); chunks are
+    lane-dim slices of the resident block. V stays natural — the PV matmul
+    is already (k, n)."""
     q = q_ref[0]                                            # (HG, bq, Dh)
     hg, bq, _ = q.shape
     dhv = v_ref.shape[-1]
-    nk = k_ref.shape[2]
+    nk = kt_ref.shape[-1]
 
-    def chunk(k, v, m_i, l_i, acc):
+    def chunk(kt, v, m_i, l_i, acc):
         s2 = jax.lax.dot_general(
-            q, k, _BATCH_DNUMS, preferred_element_type=jnp.float32
+            q, kt, _PV_DNUMS, preferred_element_type=jnp.float32
         ) * (scale * _LOG2E)                                # (HG, bq, size)
         m_new = jnp.maximum(m_i, jnp.max(s2, axis=-1, keepdims=True))
         p = jnp.exp2(s2 - m_new)
@@ -442,9 +448,9 @@ def _fwd_kernel_tiled(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
         return m_new, l_new, a_new
 
     def body(i, carry):
-        k = k_ref[0, :, pl.ds(i * bk, bk), :]
+        kt = kt_ref[0, :, :, pl.ds(i * bk, bk)]
         v = v_ref[0, :, pl.ds(i * bk, bk), :]
-        return chunk(k, v, *carry)
+        return chunk(kt, v, *carry)
 
     init = (jnp.full((hg, bq, 1), -jnp.inf, jnp.float32),
             jnp.zeros((hg, bq, 1), jnp.float32),
@@ -452,14 +458,14 @@ def _fwd_kernel_tiled(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     m_i, l_i, acc = jax.lax.fori_loop(0, nk // bk, body, init)
     if nk % bk:                                             # static tail
         m_i, l_i, acc = chunk(
-            k_ref[0, :, nk - nk % bk:, :],
+            kt_ref[0, :, :, nk - nk % bk:],
             v_ref[0, :, nk - nk % bk:, :],
             m_i, l_i, acc)
     o_ref[0] = (acc * (1.0 / l_i)).astype(o_ref.dtype)
     lse_ref[0] = jnp.swapaxes(m_i + jnp.log2(l_i), -1, -2)  # (HG, 1, bq)
 
 
-def _bwd_kernel_qtiled(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
+def _bwd_kernel_qtiled(q_ref, k_ref, kt_ref, vt_ref, o_ref, lse_ref, do_ref,
                        dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
                        scale: float, bk: int, nqb: int, nq_total: int):
     """Tiled backward: one Q-row block per grid step, dk/dv accumulated in
@@ -472,6 +478,11 @@ def _bwd_kernel_qtiled(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
     data — they are zeroed in q/do/p before the dk/dv contractions (which
     sum OVER the q-row dim; explicit selects also stop a possible NaN/Inf
     in the garbage rows from poisoning the sums via 0*inf).
+
+    The two lane-contract matmuls (the s2 recompute and dP = dO Vᵀ) take
+    TRANSPOSED (Dh/Dhv, Nk) operands, mirroring the one-shot lse-free
+    backward's (k, n) layouts; dq = dS K wants natural K, so K arrives in
+    both layouts and natural V is not needed at all.
     """
     qi = pl.program_id(2)
 
@@ -486,6 +497,7 @@ def _bwd_kernel_qtiled(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
     do = do_ref[0]
     hg, bq, dh = q.shape
     nk = k_ref.shape[2]
+    dt = q.dtype
 
     if nq_total % bq:
         rows = jax.lax.broadcasted_iota(jnp.int32, (hg, bq, 1), 1)
@@ -501,11 +513,11 @@ def _bwd_kernel_qtiled(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
 
     dcap = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
 
-    def chunk(k, v, dq):
+    def chunk(k, kt, vt, dq):
         """One KV chunk: dq contribution returned, dk/dv chunks returned
         for the caller to accumulate into scratch at the right offset."""
         s2 = jax.lax.dot_general(
-            q, k, _BATCH_DNUMS, preferred_element_type=jnp.float32
+            q, kt, _PV_DNUMS, preferred_element_type=jnp.float32
         ) * (scale * _LOG2E)
         p = jnp.exp2(s2 - lse2)                             # (HG, bq, size)
         dvc = jax.lax.dot_general(
@@ -513,9 +525,9 @@ def _bwd_kernel_qtiled(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
-            do, v, _BATCH_DNUMS, preferred_element_type=jnp.float32
+            do, vt, _PV_DNUMS, preferred_element_type=jnp.float32
         )
-        ds = (p * (dp - dcap)).astype(q.dtype)
+        ds = (p * (dp - dcap)).astype(dt)
         dq = dq + jax.lax.dot_general(
             ds, k, _PV_DNUMS, preferred_element_type=jnp.float32
         ) * scale
@@ -527,7 +539,8 @@ def _bwd_kernel_qtiled(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
 
     def body(i, dq):
         sl = pl.ds(i * bk, bk)
-        dq, dkc, dvc = chunk(k_ref[0, :, sl, :], v_ref[0, :, sl, :], dq)
+        dq, dkc, dvc = chunk(k_ref[0, :, sl, :], kt_ref[0, :, :, sl],
+                             vt_ref[0, :, :, sl], dq)
         dk_acc[:, sl, :] += dkc
         dv_acc[:, sl, :] += dvc
         return dq
@@ -536,7 +549,8 @@ def _bwd_kernel_qtiled(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
                            jnp.zeros((hg, bq, dh), jnp.float32))
     if nk % bk:                                             # static tail
         t0 = nk - nk % bk
-        dq, dkc, dvc = chunk(k_ref[0, :, t0:, :], v_ref[0, :, t0:, :], dq)
+        dq, dkc, dvc = chunk(k_ref[0, :, t0:, :], kt_ref[0, :, :, t0:],
+                             vt_ref[0, :, :, t0:], dq)
         dk_acc[:, t0:, :] += dkc
         dv_acc[:, t0:, :] += dvc
     dq_ref[0] = dq.astype(dq_ref.dtype)
@@ -597,16 +611,19 @@ def _fwd_call(q, k, v, scale, interpret):
         grid = (b, h // hg)
         in_specs = [_block(hg, nq, dh), _block(hg, nk, dh), _block(hg, nk, dhv)]
         out_specs = (_block(hg, nq, dhv), _lseblock(hg, nq))
+        args = (q, k, v)
     else:
         plan = _plan_fwd_tiled(nq, nk, dh, dhv, q.dtype.itemsize)
         bq, bk = plan if plan is not None else _min_plan(nq)
         kernel = functools.partial(_fwd_kernel_tiled, scale=scale, bk=bk)
         grid = (b, h, pl.cdiv(nq, bq))
-        in_specs = [_qblock(1, bq, dh), _kvblock(1, nk, dh),
+        in_specs = [_qblock(1, bq, dh), _kvblock(1, dh, nk),
                     _kvblock(1, nk, dhv)]
         out_specs = (_qblock(1, bq, dhv), _qlseblock(bq))
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=_TILED_VMEM_LIMIT)
+        # (k, n) layout: K transposed XLA-side (fuses with layout ops)
+        args = (q, jnp.swapaxes(k, -1, -2), v)
 
     out, lse = pl.pallas_call(
         kernel,
@@ -624,7 +641,7 @@ def _fwd_call(q, k, v, scale, interpret):
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=b * h * nq * nk,
         ),
-    )(q, k, v)
+    )(*args)
     return out, lse
 
 
@@ -658,9 +675,11 @@ def _flash_bwd(scale, interpret, residuals, g):
         ]
         out_specs = (_block(hg, nq, dh), _block(hg, nk, dh),
                      _block(hg, nk, dhv))
+        args = (q, k, v, out, lse, g)
     else:
-        # Tiled: K/V rows + f32 dk/dv accumulators resident; one Q-row
-        # block per (innermost) grid step.
+        # Tiled: K (both layouts) + Vᵀ rows + f32 dk/dv accumulators
+        # resident; one Q-row block per (innermost) grid step. See the
+        # kernel's (k, n)-layout note.
         plan = _plan_bwd_tiled(nq, nk, dh, dhv, q.dtype.itemsize)
         bq, bk = plan if plan is not None else _min_plan(nq)
         nqb = pl.cdiv(nq, bq)
@@ -668,7 +687,8 @@ def _flash_bwd(scale, interpret, residuals, g):
                                    nqb=nqb, nq_total=nq)
         grid = (b, h, nqb)
         in_specs = [
-            _qblock(1, bq, dh), _kvblock(1, nk, dh), _kvblock(1, nk, dhv),
+            _qblock(1, bq, dh), _kvblock(1, nk, dh), _kvblock(1, dh, nk),
+            _kvblock(1, dhv, nk),
             _qblock(1, bq, dhv), _qlseblock(bq), _qblock(1, bq, dhv),
         ]
         out_specs = (_qblock(1, bq, dh), _kvblock(1, nk, dh),
@@ -677,6 +697,8 @@ def _flash_bwd(scale, interpret, residuals, g):
                           pltpu.VMEM((1, nk, dhv), jnp.float32)]
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=_TILED_VMEM_LIMIT)
+        args = (q, k, jnp.swapaxes(k, -1, -2), jnp.swapaxes(v, -1, -2),
+                out, lse, g)
 
     dq, dk, dv = pl.pallas_call(
         kernel,
@@ -696,7 +718,7 @@ def _flash_bwd(scale, interpret, residuals, g):
             bytes_accessed=2 * (q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=b * h * nq * nk,
         ),
-    )(q, k, v, out, lse, g)
+    )(*args)
     return dq, dk, dv
 
 

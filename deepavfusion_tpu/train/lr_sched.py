@@ -199,6 +199,11 @@ class OptimizerConfig:
     steps_per_epoch: float = 1000.0
     weight_decay: float = 0.05
     betas: tuple[float, float] = (0.9, 0.95)
+    # Optional bf16 first-moment storage (optax mu_dtype): halves the m
+    # read+write HBM traffic of the AdamW update — the update tail is
+    # HBM-bound (bench_step_attribution.py). From-scratch knob: None (f32)
+    # matches torch AdamW bit-for-bit (test_train_step_parity.py).
+    mu_dtype: Optional[Any] = None
     clip_grad: Optional[float] = None
     layer_decay: Optional[float] = None
     depth: int = 12
@@ -229,7 +234,8 @@ def make_adamw(params, cfg: OptimizerConfig) -> optax.GradientTransformation:
     if cfg.clip_grad:
         chain.append(optax.clip_by_global_norm(cfg.clip_grad))
     chain += [
-        optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1]),
+        optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1],
+                            mu_dtype=cfg.mu_dtype),
         optax.add_decayed_weights(cfg.weight_decay, mask=weight_decay_mask(params)),
         scale_by_reference_lr(lr_fn, scales, pt_mask, pt_fn),
     ]

@@ -60,6 +60,7 @@ class PretrainConfig:
     audio_pretrained: bool = True
     steps_per_epoch: float = 1000.0
     decoder_num_heads: int = 16      # reference avmae.py decoder heads
+    adam_mu_dtype: Any = None        # bf16 = lighter HBM-bound update tail
     dtype: Any = jnp.bfloat16
 
 
@@ -125,6 +126,7 @@ def make_pretrain_step(model, params, cfg: PretrainConfig, world_batch: int,
         pt_warmup_epochs=lr_sched.eval_epochs_expr(cfg.pt_warmup_epochs, cfg.epochs),
         image_pt=cfg.image_pretrained,
         audio_pt=cfg.audio_pretrained,
+        mu_dtype=cfg.adam_mu_dtype,
     )
     tx, lr_fn = lr_sched.make_adamw(params, opt_cfg)
 
