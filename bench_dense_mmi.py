@@ -62,12 +62,16 @@ def main():
     aud = jnp.asarray(rng.randn(batch, 128, 192, 1), jnp.bfloat16)
 
     for arch in ("dense_mmi", "factorized_mmi"):
+        # scan_layers: the UNROLLED dense trunk program trips the remote
+        # compile service's ~30-min drop twice in a row (broken pipe, r4);
+        # the scanned trunk is the same math in a 12x smaller program and
+        # is the entry default through the tunnel anyway (NOTES.md r3).
         cfg = trunk_mod.DeepAVFusionConfig(
             image=vit_config("vit_base", (224, 224), 3),
             audio=vit_config("vit_base", (128, 192), 1),
             fusion_arch=arch, num_fusion_tkns=(16, 8, 8),
             fusion_mlp_ratio=1.0, fusion_attn_ratio=0.25,
-            fusion_num_heads=12)
+            fusion_num_heads=12, scan_layers=True)
         trunk = trunk_mod.DeepAVFusion(cfg, dtype=jnp.bfloat16)
         with jax.default_device(runtime.host_cpu_device()):
             params = trunk.init(jax.random.key(0),

@@ -71,6 +71,7 @@ Replaces the reference's reliance on cuDNN/ATen attention matmuls
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -193,6 +194,18 @@ def _plan_bwd_tiled(nq, nk, dh, dhv, itemsize, budget=_TILED_BUDGET):
             if total <= budget:
                 return bq, bk
     return None
+
+
+def _plan_override(which: str):
+    """Trace-time (bq, bk) override of the tiled planner — a calibration
+    hook for bench_attention sweeps (``DAVF_TILED_PLAN_FWD/_BWD="bq,bk"``).
+    Like every DAVF_ knob it is read at trace time: already-compiled
+    programs ignore later changes."""
+    s = os.environ.get(f"DAVF_TILED_PLAN_{which}")
+    if not s:
+        return None
+    bq, bk = (int(x) for x in s.split(","))
+    return bq, bk
 
 
 def _min_plan(nq: int):
@@ -613,7 +626,8 @@ def _fwd_call(q, k, v, scale, interpret):
         out_specs = (_block(hg, nq, dhv), _lseblock(hg, nq))
         args = (q, k, v)
     else:
-        plan = _plan_fwd_tiled(nq, nk, dh, dhv, q.dtype.itemsize)
+        plan = (_plan_override("FWD")
+                or _plan_fwd_tiled(nq, nk, dh, dhv, q.dtype.itemsize))
         bq, bk = plan if plan is not None else _min_plan(nq)
         kernel = functools.partial(_fwd_kernel_tiled, scale=scale, bk=bk)
         grid = (b, h, pl.cdiv(nq, bq))
@@ -680,7 +694,8 @@ def _flash_bwd(scale, interpret, residuals, g):
         # Tiled: K (both layouts) + Vᵀ rows + f32 dk/dv accumulators
         # resident; one Q-row block per (innermost) grid step. See the
         # kernel's (k, n)-layout note.
-        plan = _plan_bwd_tiled(nq, nk, dh, dhv, q.dtype.itemsize)
+        plan = (_plan_override("BWD")
+                or _plan_bwd_tiled(nq, nk, dh, dhv, q.dtype.itemsize))
         bq, bk = plan if plan is not None else _min_plan(nq)
         nqb = pl.cdiv(nq, bq)
         kernel = functools.partial(_bwd_kernel_qtiled, scale=scale, bk=bk,

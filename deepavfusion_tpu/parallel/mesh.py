@@ -123,11 +123,20 @@ def tp_shard_params(params, mesh: Mesh, model_axis: str = "model"):
     all-gathers each weight at its use site.
     """
     model_size = mesh.shape[model_axis]
+    multi = jax.process_count() > 1
 
     def place(path, v):
         p = "/".join(getattr(k, "key", str(getattr(k, "idx", k))) for k in path)
-        return jax.device_put(
-            v, NamedSharding(mesh, tp_param_spec(p, v, model_axis, model_size)))
+        sh = NamedSharding(mesh, tp_param_spec(p, v, model_axis, model_size))
+        if multi:
+            # device_put cannot target non-addressable devices; every host
+            # holds the full array (same-seed init / restored checkpoint),
+            # so each process contributes its addressable shards by slicing
+            # its local copy.
+            va = np.asarray(v)
+            return jax.make_array_from_callback(va.shape, sh,
+                                                lambda idx: va[idx])
+        return jax.device_put(v, sh)
 
     return jax.tree_util.tree_map_with_path(place, params)
 

@@ -35,11 +35,22 @@ class CheckpointManager:
             self._write(self._path("best"), payload)
 
     def _write(self, path: Path, payload) -> None:
-        tmp_ok = not path.exists()
-        if not tmp_ok:
+        # Every process calls save (train.py:186) — orbax barriers
+        # internally and only the primary writes — but the overwrite
+        # rmtree below is OURS, so it must be process-0-only with an
+        # explicit barrier before orbax re-creates the dir (two ranks
+        # racing rmtree on a shared dir → ENOENT on the loser).
+        import jax
+
+        multi = jax.process_count() > 1
+        if path.exists() and (not multi or jax.process_index() == 0):
             import shutil
 
             shutil.rmtree(path)
+        if multi:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_rm:{path.name}")
         self._ckptr.save(path, payload)
         self._ckptr.wait_until_finished()
 

@@ -24,8 +24,29 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # wall time is dominated by recompiling the same tiny CPU programs every
 # run — with a warm cache the default gate drops several-fold (VERDICT r3
 # item 8). Subprocess tests inherit it through the environment.
+#
+# The dir is fingerprinted by the host CPU's feature flags: XLA:CPU cache
+# entries are AOT machine code, and the cache key does NOT include machine
+# features — an entry compiled on a different host is rejected at load
+# ("Target machine feature +prefer-no-gather is not supported") but never
+# re-stored, so a stale dir means every run recompiles everything, forever
+# (measured: 31 s/worker vs ~5 s warm for tests/mp_worker.py).
+def _cpu_fingerprint():
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:10]
+
+
 _cache = os.path.expanduser(
-    os.environ.get("DAVF_XLA_CACHE", "~/.cache/deepavfusion_tpu/xla-tests"))
+    os.environ.get("DAVF_XLA_CACHE",
+                   f"~/.cache/deepavfusion_tpu/xla-tests-{_cpu_fingerprint()}"))
 os.makedirs(_cache, exist_ok=True)
 os.environ["DAVF_XLA_CACHE"] = _cache   # inherited by subprocess tests
 # entries call runtime.setup(), which would redirect the cache to the main

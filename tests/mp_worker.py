@@ -84,6 +84,15 @@ def main():
 
     if nproc > 1:
         mesh_lib.init_distributed(coord, nproc, pid)
+        # Establish the Gloo clique while the ranks are still in lockstep:
+        # the first cross-host collective does a KV exchange with a
+        # HARDCODED 30 s deadline (xla gloo kv store; not configurable from
+        # jax 0.9). If that first exchange is the train step's, rank skew
+        # from the step compile on a loaded 1-core host trips the deadline
+        # (observed: GetKeyValue() timed out at 29.99 s). A trivial psum
+        # compiles in ms, so the ranks arrive near-simultaneously here.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("mp_worker_init")
     assert jax.process_count() == nproc, (jax.process_count(), nproc)
     assert len(jax.local_devices()) == 4
     assert len(jax.devices()) == 4 * nproc
@@ -155,12 +164,31 @@ def main():
     assert gbatch["image"].shape == (world_batch, 32, 32, 3), gbatch["image"].shape
 
     key_base = 123 + (2 if mode == "resume_continue" else 0)
+    if nproc > 1:
+        # Align EXECUTION across ranks: the step's first run creates fresh
+        # Gloo contexts whose KV exchange has a hardcoded 30 s deadline,
+        # and on a loaded 1-core host the two ranks' step COMPILES can
+        # finish >30 s apart (observed; the init-time sync above is not
+        # enough because each program's collectives form new contexts).
+        # AOT-compile first, then barrier on the coordination service —
+        # whose timeout IS configurable — so both ranks enter the first
+        # execution within milliseconds.
+        _ = step_fn.lower(state, gbatch, jax.random.key(key_base)).compile()
+        from jax._src import distributed as _dist
+        _dist.global_state.client.wait_at_barrier(
+            f"step_compiled_{mode}", timeout_in_ms=600_000)
     losses = []
     for s in range(steps):
         state, m = step_fn(state, gbatch, jax.random.key(key_base + s))
         losses.append(float(jax.device_get(m["loss"])))
 
-    if mode == "resume_save" and pid == 0:
+    if mode == "resume_save":
+        # ALL ranks call save, exactly like train.py:186 — orbax's
+        # Checkpointer runs cross-process barriers internally when
+        # jax.process_count() > 1, so a rank-0-only call leaves rank 1
+        # running the NEXT collective (host_gather below) against rank 0's
+        # checkpoint barrier: gloo aborts with "preamble.length <= nbytes
+        # ... collective mismatch" (observed, r4).
         from deepavfusion_tpu.train.checkpoint import CheckpointManager
 
         mgr = CheckpointManager(ckpt_dir, save_freq=0)

@@ -78,9 +78,9 @@ def test_two_process_tensor_parallel_matches_dp(tmp_path):
     """REAL 2-process dp2 × mp4 mesh (VERDICT r3 item 5): Megatron-style
     param placement across process boundaries; losses equal the 2-process
     DP run of the same program on the same data."""
-    got_tp, logs_tp = _run_nproc(2, tmp_path, mode="tp")
+    got_tp, logs_tp = _run_nproc(2, tmp_path, mode="tp", timeout=900)
     assert got_tp["nproc"] == 2 and got_tp["ndev"] == 8
-    got_dp, _ = _run_nproc(2, tmp_path, mode="dp")
+    got_dp, _ = _run_nproc(2, tmp_path, mode="dp", timeout=900)
     np.testing.assert_allclose(
         got_tp["losses"], got_dp["losses"], atol=1e-5,
         err_msg=f"tp vs dp losses diverge\n{logs_tp}")
@@ -92,11 +92,11 @@ def test_real_process_elastic_resume(tmp_path):
     uninterrupted single-process 3-step run."""
     ckpt = tmp_path / "ckpt"
     got_save, logs_save = _run_nproc(2, tmp_path, mode="resume_save",
-                                     ckpt_dir=ckpt)
+                                     ckpt_dir=ckpt, timeout=900)
     assert (ckpt / "checkpoint_latest").exists(), logs_save
     got_cont, logs_cont = _run_nproc(1, tmp_path, mode="resume_continue",
-                                     ckpt_dir=ckpt)
-    got_base, _ = _run_nproc(1, tmp_path, mode="dp3")
+                                     ckpt_dir=ckpt, timeout=900)
+    got_base, _ = _run_nproc(1, tmp_path, mode="dp3", timeout=900)
     np.testing.assert_allclose(
         got_save["losses"], got_base["losses"][:2], atol=1e-5)
     np.testing.assert_allclose(
