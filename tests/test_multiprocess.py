@@ -38,7 +38,17 @@ def _clean_env():
     return env
 
 
+# Stateless (no ckpt_dir) phases are memoized across the module's tests:
+# the tp test re-runs the exact (2, "dp") program the dp test already ran
+# (~1-3 min of subprocess work per phase on a 1-core host). Keyed by
+# (nproc, mode) only — every worker invocation with those args computes
+# the same losses on the same data.
+_phase_memo = {}
+
+
 def _run_nproc(nproc, tmp_path, timeout=420, mode="dp", ckpt_dir=""):
+    if not ckpt_dir and (nproc, mode) in _phase_memo:
+        return _phase_memo[(nproc, mode)]
     coord = f"127.0.0.1:{_free_port()}"
     out = tmp_path / f"out_{mode}_{nproc}.json"
     extra = [mode] + ([str(ckpt_dir)] if ckpt_dir else [])
@@ -57,7 +67,10 @@ def _run_nproc(nproc, tmp_path, timeout=420, mode="dp", ckpt_dir=""):
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker rc={p.returncode}\n{log[-4000:]}"
     with open(out) as f:
-        return json.load(f), logs
+        got = json.load(f), logs
+    if not ckpt_dir:
+        _phase_memo[(nproc, mode)] = got
+    return got
 
 
 def test_two_process_dp_matches_single_process(tmp_path):
