@@ -208,6 +208,19 @@ def _plan_override(which: str):
     return bq, bk
 
 
+def _tiled_hg(h: int) -> int:
+    """Head-group size for the TILED kernels. The tiled kernel bodies are
+    written generically over a leading head-group dim (batched
+    dot_generals, exactly like the one-shot kernels); grouping amortizes
+    Mosaic's per-op issue overhead at the cost of hg× the resident K/V
+    and chunk temps. Default 1 = the r3/r4 measured configuration;
+    DAVF_TILED_HG is a trace-time sweep hook like DAVF_TILED_PLAN_*."""
+    hg = max(1, min(int(os.environ.get("DAVF_TILED_HG", "1")), h))
+    while h % hg:
+        hg -= 1
+    return hg
+
+
 def _min_plan(nq: int):
     """Best-effort fallback when no plan fits the budget: the smallest
     usable Q block. Only reachable by direct flash_attention() calls on
@@ -596,10 +609,10 @@ def _qblock(hg, bq, d):
                         memory_space=pltpu.VMEM)
 
 
-def _qlseblock(bq):
+def _qlseblock(hg, bq):
     """Lane-position Q block of the (B, H, 1, Nq) logsumexp — bq must be a
     128-multiple (or the whole Nq) for Mosaic block legality."""
-    return pl.BlockSpec((1, 1, 1, bq), lambda b, g, qi: (b, g, 0, qi),
+    return pl.BlockSpec((1, hg, 1, bq), lambda b, g, qi: (b, g, 0, qi),
                         memory_space=pltpu.VMEM)
 
 
@@ -629,11 +642,12 @@ def _fwd_call(q, k, v, scale, interpret):
         plan = (_plan_override("FWD")
                 or _plan_fwd_tiled(nq, nk, dh, dhv, q.dtype.itemsize))
         bq, bk = plan if plan is not None else _min_plan(nq)
+        hg = _tiled_hg(h)
         kernel = functools.partial(_fwd_kernel_tiled, scale=scale, bk=bk)
-        grid = (b, h, pl.cdiv(nq, bq))
-        in_specs = [_qblock(1, bq, dh), _kvblock(1, dh, nk),
-                    _kvblock(1, nk, dhv)]
-        out_specs = (_qblock(1, bq, dhv), _qlseblock(bq))
+        grid = (b, h // hg, pl.cdiv(nq, bq))
+        in_specs = [_qblock(hg, bq, dh), _kvblock(hg, dh, nk),
+                    _kvblock(hg, nk, dhv)]
+        out_specs = (_qblock(hg, bq, dhv), _qlseblock(hg, bq))
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=_TILED_VMEM_LIMIT)
         # (k, n) layout: K transposed XLA-side (fuses with layout ops)
@@ -698,18 +712,19 @@ def _flash_bwd(scale, interpret, residuals, g):
                 or _plan_bwd_tiled(nq, nk, dh, dhv, q.dtype.itemsize))
         bq, bk = plan if plan is not None else _min_plan(nq)
         nqb = pl.cdiv(nq, bq)
+        hg = _tiled_hg(h)
         kernel = functools.partial(_bwd_kernel_qtiled, scale=scale, bk=bk,
                                    nqb=nqb, nq_total=nq)
-        grid = (b, h, nqb)
+        grid = (b, h // hg, nqb)
         in_specs = [
-            _qblock(1, bq, dh), _kvblock(1, nk, dh), _kvblock(1, dh, nk),
-            _kvblock(1, dhv, nk),
-            _qblock(1, bq, dhv), _qlseblock(bq), _qblock(1, bq, dhv),
+            _qblock(hg, bq, dh), _kvblock(hg, nk, dh), _kvblock(hg, dh, nk),
+            _kvblock(hg, dhv, nk),
+            _qblock(hg, bq, dhv), _qlseblock(hg, bq), _qblock(hg, bq, dhv),
         ]
-        out_specs = (_qblock(1, bq, dh), _kvblock(1, nk, dh),
-                     _kvblock(1, nk, dhv))
-        scratch_shapes = [pltpu.VMEM((1, nk, dh), jnp.float32),
-                          pltpu.VMEM((1, nk, dhv), jnp.float32)]
+        out_specs = (_qblock(hg, bq, dh), _kvblock(hg, nk, dh),
+                     _kvblock(hg, nk, dhv))
+        scratch_shapes = [pltpu.VMEM((hg, nk, dh), jnp.float32),
+                          pltpu.VMEM((hg, nk, dhv), jnp.float32)]
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=_TILED_VMEM_LIMIT)
         args = (q, k, jnp.swapaxes(k, -1, -2), jnp.swapaxes(v, -1, -2),

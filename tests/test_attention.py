@@ -1,5 +1,6 @@
 """Attention primitive tests: XLA path vs torch softmax-attention, Pallas interpret mode."""
 import numpy as np
+import pytest
 import torch
 
 import jax.numpy as jnp
@@ -309,6 +310,43 @@ def test_flash_attention_tiled_gradient_matches_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-3,
             err_msg="tiled VJP disagrees with XLA autodiff")
+
+
+@pytest.mark.parametrize("hg", [2, 4])
+def test_tiled_head_grouping_and_plan_override(monkeypatch, hg):
+    """Head-grouped tiled kernels (DAVF_TILED_HG) and the (bq, bk) plan
+    override (DAVF_TILED_PLAN_FWD/_BWD) — the calibration sweep hooks —
+    must be value-identical to the default hg=1 planner path. Exercises
+    ragged Q tails (768-row blocks over 1000 rows) and the unaligned tail
+    chunk (bk=256 over 900) under grouping."""
+    import jax
+
+    from deepavfusion_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.RandomState(11)
+    q = jnp.asarray(rng.randn(1, 4, 1000, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 4, 900, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 4, 900, 64).astype(np.float32))
+    _tiled_shapes_engage(q, k, v)
+
+    def loss(q, k, v):
+        return (flash_attention(q, k, v, interpret=True) ** 2).sum()
+
+    out_ref = flash_attention(q, k, v, interpret=True)
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    monkeypatch.setenv("DAVF_TILED_HG", str(hg))
+    monkeypatch.setenv("DAVF_TILED_PLAN_FWD", "768,256")
+    monkeypatch.setenv("DAVF_TILED_PLAN_BWD", "768,256")
+    out_hg = flash_attention(q, k, v, interpret=True)
+    g_hg = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    np.testing.assert_allclose(np.asarray(out_hg), np.asarray(out_ref),
+                               atol=2e-5)
+    for a, b in zip(g_hg, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3,
+            err_msg=f"head-grouped (hg={hg}) tiled VJP diverges")
 
 
 def test_nolse_and_lse_paths_agree():
