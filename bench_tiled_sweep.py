@@ -16,14 +16,17 @@ import subprocess
 import sys
 
 
-def run_one(shape, batch, fwd_plan=None, bwd_plan=None):
+def run_one(shape, batch, fwd_plan=None, bwd_plan=None, hg=None):
     env = dict(os.environ)
     env.pop("DAVF_TILED_PLAN_FWD", None)
     env.pop("DAVF_TILED_PLAN_BWD", None)
+    env.pop("DAVF_TILED_HG", None)
     if fwd_plan:
         env["DAVF_TILED_PLAN_FWD"] = fwd_plan
     if bwd_plan:
         env["DAVF_TILED_PLAN_BWD"] = bwd_plan
+    if hg:
+        env["DAVF_TILED_HG"] = str(hg)
     p = subprocess.run(
         [sys.executable, "bench_attention.py", str(batch), f"--only={shape}"],
         capture_output=True, text=True, env=env, timeout=3000)
@@ -58,21 +61,27 @@ def main():
     print(f"default plan: {json.dumps(base)}", file=sys.stderr)
     results.append(("default", base))
 
-    for bq in bqs:
-        for bk in bks:
-            if bk > n or bq > n:
-                continue
-            plan = f"{bq},{bk}"
-            row, err = run_one(shape, batch, fwd_plan=plan, bwd_plan=plan)
-            if err:
-                print(f"plan {plan}: FAILED {err.splitlines()[-1] if err.splitlines() else err}",
+    for hg in (1, 2, 4):
+        for bq in bqs:
+            for bk in bks:
+                if bk > n or bq > n:
+                    continue
+                if hg > 1 and (bq != bqs[-1] or bk not in (256, 512)):
+                    continue  # hg sweep only at the leanest plans (VMEM x hg)
+                plan = f"{bq},{bk}"
+                tag = f"{plan} hg{hg}"
+                row, err = run_one(shape, batch, fwd_plan=plan,
+                                   bwd_plan=plan, hg=hg)
+                if err:
+                    print(f"plan {tag}: FAILED "
+                          f"{err.splitlines()[-1] if err.splitlines() else err}",
+                          file=sys.stderr)
+                    continue
+                print(f"plan {tag}: fwd {row.get('pallas_fwd_us')} us, "
+                      f"bwd {row.get('pallas_bwd_us')} us "
+                      f"(xla {row.get('xla_fwd_us')}/{row.get('xla_bwd_us')})",
                       file=sys.stderr)
-                continue
-            print(f"plan {plan}: fwd {row.get('pallas_fwd_us')} us, "
-                  f"bwd {row.get('pallas_bwd_us')} us "
-                  f"(xla {row.get('xla_fwd_us')}/{row.get('xla_bwd_us')})",
-                  file=sys.stderr)
-            results.append((plan, row))
+                results.append((tag, row))
 
     ok = [(p, r) for p, r in results if r.get("pallas_bwd_us")]
     best_bwd = min(ok, key=lambda t: t[1]["pallas_bwd_us"])
