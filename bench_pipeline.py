@@ -124,10 +124,16 @@ def main():
         return wall, waited
 
     # device-bound control: same loop over pre-decoded host batches
+    # (cycle the loader: one epoch is only len(files)//batch batches)
     it = iter(dl)
-    pre = [next(it) for _ in range(4)]
+    pre = []
+    while len(pre) < 4:
+        try:
+            pre.append(next(it))
+        except StopIteration:
+            it = iter(dl)
     pre = [{k: b[k] for k in ("image", "audio")} for b in pre]
-    ctrl_wall, _ = run_loop(lambda: pre[np.random.randint(4)], steps,
+    ctrl_wall, _ = run_loop(lambda: pre[np.random.randint(len(pre))], steps,
                             "device-bound control")
 
     it = iter(dl)

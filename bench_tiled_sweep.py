@@ -8,6 +8,11 @@ so an in-process sweep would reuse the first compiled program), and prints
 a table + ONE JSON line with the best plan per direction.
 
 Usage: python bench_tiled_sweep.py [--shape=video_joint_1568] [--batch=64]
+                                   [--plans=bq,bk[:hg][;bq,bk[:hg]...]]
+
+--plans overrides the built-in candidate grid with an explicit list (each
+entry "bq,bk" or "bq,bk:hg"), for time-boxed sweeps through the tunnel
+where every new plan is a fresh remote compile.
 """
 import json
 import os
@@ -41,47 +46,62 @@ def run_one(shape, batch, fwd_plan=None, bwd_plan=None, hg=None):
 def main():
     shape = "video_joint_1568"
     batch = 64
+    plans_arg = None
     for a in sys.argv[1:]:
         if a.startswith("--shape="):
             shape = a.split("=", 1)[1]
         if a.startswith("--batch="):
             batch = int(a.split("=", 1)[1])
+        if a.startswith("--plans="):
+            plans_arg = a.split("=", 1)[1]
     n = int(re.search(r"(\d+)$", shape).group(1))
 
-    # candidates: whole-row Q first (single Q step, no scratch revisits),
-    # then descending 128-multiples; KV chunks large -> small.
-    bqs = list(dict.fromkeys([n, 1024, 768, 512] if n >= 1536 else [n, 512]))
-    bks = [n, 768, 512, 256, 128]
+    if plans_arg:
+        candidates = []
+        for entry in plans_arg.split(";"):
+            entry = entry.strip()
+            if not entry:
+                continue
+            plan, _, hg = entry.partition(":")
+            candidates.append((plan, int(hg) if hg else 1))
+    else:
+        # candidates: whole-row Q first (single Q step, no scratch
+        # revisits), then descending 128-multiples; KV chunks large->small.
+        bqs = list(dict.fromkeys(
+            [n, 1024, 768, 512] if n >= 1536 else [n, 512]))
+        bks = [n, 768, 512, 256, 128]
+        candidates = []
+        for hg in (1, 2, 4):
+            for bq in bqs:
+                for bk in bks:
+                    if bk > n or bq > n:
+                        continue
+                    if hg > 1 and (bq != bqs[-1] or bk not in (256, 512)):
+                        continue  # hg only at the leanest plans (VMEM x hg)
+                    candidates.append((f"{bq},{bk}", hg))
 
     results = []
     base, err = run_one(shape, batch)          # planner defaults
     if err:
         print("baseline run failed:", err, file=sys.stderr)
         sys.exit(1)
-    print(f"default plan: {json.dumps(base)}", file=sys.stderr)
+    print(f"default plan: {json.dumps(base)}", file=sys.stderr, flush=True)
     results.append(("default", base))
 
-    for hg in (1, 2, 4):
-        for bq in bqs:
-            for bk in bks:
-                if bk > n or bq > n:
-                    continue
-                if hg > 1 and (bq != bqs[-1] or bk not in (256, 512)):
-                    continue  # hg sweep only at the leanest plans (VMEM x hg)
-                plan = f"{bq},{bk}"
-                tag = f"{plan} hg{hg}"
-                row, err = run_one(shape, batch, fwd_plan=plan,
-                                   bwd_plan=plan, hg=hg)
-                if err:
-                    print(f"plan {tag}: FAILED "
-                          f"{err.splitlines()[-1] if err.splitlines() else err}",
-                          file=sys.stderr)
-                    continue
-                print(f"plan {tag}: fwd {row.get('pallas_fwd_us')} us, "
-                      f"bwd {row.get('pallas_bwd_us')} us "
-                      f"(xla {row.get('xla_fwd_us')}/{row.get('xla_bwd_us')})",
-                      file=sys.stderr)
-                results.append((tag, row))
+    for plan, hg in candidates:
+        tag = f"{plan} hg{hg}"
+        row, err = run_one(shape, batch, fwd_plan=plan, bwd_plan=plan,
+                           hg=hg)
+        if err:
+            print(f"plan {tag}: FAILED "
+                  f"{err.splitlines()[-1] if err.splitlines() else err}",
+                  file=sys.stderr, flush=True)
+            continue
+        print(f"plan {tag}: fwd {row.get('pallas_fwd_us')} us, "
+              f"bwd {row.get('pallas_bwd_us')} us "
+              f"(xla {row.get('xla_fwd_us')}/{row.get('xla_bwd_us')})",
+              file=sys.stderr, flush=True)
+        results.append((tag, row))
 
     ok = [(p, r) for p, r in results if r.get("pallas_bwd_us")]
     best_bwd = min(ok, key=lambda t: t[1]["pallas_bwd_us"])

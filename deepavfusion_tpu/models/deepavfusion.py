@@ -143,6 +143,10 @@ class TrunkLayer(nn.Module):
             fusion_tkns=c.num_fusion_tkns, qkv_bias=True,
             drop=c.drop, attn_drop=c.attn_drop, drop_path=c.drop_path,
             dtype=self.dtype, name="blk_fusion",
+            # scan bodies must not route the fused megakernel: the scan
+            # transpose's stacked-dW accumulation blows scoped VMEM inside
+            # the cond branch (see FusionBlock.allow_fused)
+            allow_fused=False,
         )
         _x_image = blk_image(
             jnp.concatenate([x_fusion, x_image], axis=1), deterministic

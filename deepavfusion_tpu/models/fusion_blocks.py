@@ -474,6 +474,15 @@ class FusionBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     dtype: Dtype = jnp.float32
+    # Trunks set this False inside nn.scan bodies: the scan transpose
+    # accumulates the STACKED (12, ...) weight grads, and XLA fuses that
+    # accumulation into the platform_dependent cond branch wrapping the
+    # Pallas custom call, then stack-allocates it in scoped VMEM —
+    # "Scoped allocation with size 33.41M and limit 16.00M exceeded"
+    # (v5e, jit(step_fn)/transpose(jvp(AVMAE))/encoder/while/body/.../
+    # blk_fusion._fused_factorized/cond/pallas_call). The unrolled trunk
+    # (bench.py production config) keeps the fused route.
+    allow_fused: bool = True
 
     @nn.compact
     def __call__(
@@ -553,6 +562,8 @@ class FusionBlock(nn.Module):
         key set must produce exact zeros via the unbatched branch), a TPU
         default backend, and a VMEM-feasible batch tile for BOTH kernel
         directions."""
+        if not self.allow_fused:
+            return False
         if _env_flag("DAVF_NO_FUSED_BLOCK") or _env_flag("DAVF_NO_PALLAS"):
             return False
         if return_weights or not self.qkv_bias:

@@ -147,8 +147,51 @@ def test_route_predicates():
                                return_weights=False)
         assert not m._fused_route(xf, xi[:, :0], xa, deterministic=True,
                                   return_weights=False)
+        # scan bodies construct the block with allow_fused=False (the scan
+        # transpose's stacked-dW accumulation blows scoped VMEM on TPU)
+        m3 = _mod(allow_fused=False)
+        assert not m3._fused_route(*args, deterministic=True,
+                                   return_weights=False)
     finally:
         del os.environ["DAVF_FUSED_BLOCK"]
+
+
+def test_scan_trunk_never_routes_fused(monkeypatch):
+    """The scanned trunk must not contain the fused-block platform cond
+    even when DAVF_FUSED_BLOCK=1 forces the route elsewhere: XLA stack-
+    allocates the stacked weight-grad accumulation in scoped VMEM inside
+    the cond branch and the train step fails to compile on a real v5e
+    ("Scoped allocation with size 33.41M and limit 16.00M exceeded",
+    bench_pipeline.py r4). The unrolled trunk keeps the route."""
+    from deepavfusion_tpu.models import deepavfusion as trunk_mod
+    from deepavfusion_tpu.models.vit import vit_config
+
+    monkeypatch.setenv("DAVF_FUSED_BLOCK", "1")
+
+    def lowered_text(scan):
+        tiny = dict(embed_dim=96, depth=2, num_heads=4,
+                    patch_size=(16, 16))
+        cfg = trunk_mod.DeepAVFusionConfig(
+            image=vit_config("vit_small", (32, 32), 3, **tiny),
+            audio=vit_config("vit_small", (32, 32), 1, **tiny),
+            fusion_arch="factorized_mmi", num_fusion_tkns=TKNS,
+            fusion_mlp_ratio=1.0, fusion_attn_ratio=0.25,
+            fusion_num_heads=4, scan_layers=scan)
+        trunk = trunk_mod.DeepAVFusion(cfg, dtype=jnp.float32)
+        img = jnp.zeros((1, 32, 32, 3))
+        aud = jnp.zeros((1, 32, 32, 1))
+        params = trunk.init(jax.random.key(0), img, aud)["params"]
+
+        def f(p):
+            xi, xa, xff = trunk.apply({"params": p}, img, aud)
+            return (xi.sum() + xa.sum() + xff.sum())
+
+        return jax.jit(jax.grad(f)).lower(params).as_text()
+
+    # the fused route's lax.platform_dependent is the only stablehlo.case
+    # in this trunk's lowering (module-path names don't survive lowering)
+    assert "stablehlo.case" not in lowered_text(scan=True)
+    assert "stablehlo.case" in lowered_text(scan=False)
 
 
 def test_batch_tile_grid_accumulation(setup):
