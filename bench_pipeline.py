@@ -77,8 +77,13 @@ def main():
     from deepavfusion_tpu.train import pretrain
 
     mesh = mesh_lib.make_mesh({"data": len(jax.devices())})
+    # scan + remat: the plain scan trunk's f32 stacked activations OOM a
+    # 16 GB v5e at B=64 (16.18G > 15.75G, measured r4); remat fits and is
+    # the config production tunnels use anyway. The device rate here is a
+    # CONTROL for the host pipeline, not the bench.py throughput record.
     cfg = pretrain.PretrainConfig(fusion_mlp_ratio=1.0, dtype=jnp.bfloat16,
-                                  scan_layers=True, steps_per_epoch=100.0)
+                                  scan_layers=True, remat=True,
+                                  steps_per_epoch=100.0)
     model = pretrain.build_model(cfg)
     params = pretrain.init_params(model, cfg, seed=0)
     _, state, step_fn, _ = pretrain.make_pretrain_step(
