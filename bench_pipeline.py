@@ -91,10 +91,15 @@ def main():
     state = mesh_lib.replicate(state, mesh)
 
     audio_dur = cfg.audio_frames / 64.0
+    # uint8-H2D lever (production default, data/pipeline.py): frames cross
+    # the host->device link as uint8 (9.6 MB/batch vs 38.5 f32) and are
+    # normalized in-graph. DAVF_BENCH_U8=0 restores host-f32 shipping.
+    u8 = os.environ.get("DAVF_BENCH_U8", "1") == "1"
     db = datasets.VideoDataset(
         base_path=str(corpus), video_files=list(files),
         class_labels=[0] * len(files), class_desc=["c0"],
-        visual_transform=transforms.ImageTrainTransform(cfg.image_size, 0.5),
+        visual_transform=transforms.ImageTrainTransform(cfg.image_size, 0.5,
+                                                        normalize=not u8),
         audio_transform=transforms.AudioTrainTransform(
             16000, audio_dur, cfg.audio_mels),
         audio_dur=audio_dur, temporal_jitter=True,
@@ -166,6 +171,9 @@ def main():
         "unit": "clips/s end-to-end",
         "vs_baseline": round(e2e_cps / max(ctrl_cps, 1e-9), 3),
         "entropy": entropy, "steps": steps, "batch": batch,
+        "u8_images": u8,
+        "h2d_mb_per_batch": round(sum(
+            v.nbytes for v in pre[0].values()) / 1e6, 1),
         "workers": workers, "host_cores": os.cpu_count(),
         "device_bound_clips_per_s": round(ctrl_cps, 1),
         "data_wait_fraction": round(e2e_wait / e2e_wall, 3),

@@ -16,10 +16,14 @@ def _audio_frames(args) -> int:
 
 
 def pretrain_loader(args, cfg, epoch: int):
+    # uint8-H2D lever (default ON): ship post-crop/flip frames as uint8 and
+    # normalize in-graph (ops/image.py) — 4x fewer host->device bytes with
+    # identical bf16 compute. data.u8_images=false restores host f32.
+    u8 = bool(args.data.get("u8_images", True))
     db = datasets.load_dataset(
         args.data.dataset, args.data.data_path, dataset_type="simple",
         visual_transform=transforms.ImageTrainTransform(
-            args.data.image_size, args.data.crop_min),
+            args.data.image_size, args.data.crop_min, normalize=not u8),
         audio_transform=transforms.AudioTrainTransform(
             args.data.audio_rate, args.data.audio_dur, args.data.audio_mels),
         train=True, audio_dur=args.data.audio_dur,

@@ -91,17 +91,24 @@ def to_normalized_array(img: Image.Image) -> np.ndarray:
 
 
 class ImageTrainTransform:
-    """RandomResizedCrop + HFlip + Normalize (reference train.py:45-49)."""
+    """RandomResizedCrop + HFlip + Normalize (reference train.py:45-49).
 
-    def __init__(self, size: int = 224, crop_min: float = 0.5):
+    ``normalize=False`` returns the post-crop/flip frame as uint8 HWC — the
+    uint8-H2D lever: /255−mean/std then runs in-graph on device
+    (ops/image.maybe_normalize_u8), 4x fewer host→device bytes."""
+
+    def __init__(self, size: int = 224, crop_min: float = 0.5,
+                 normalize: bool = True):
         self.size = size
         self.crop_min = crop_min
+        self.normalize = normalize
 
     def __call__(self, img, labels=()):
         img, labels = random_resized_crop(img, self.size, (self.crop_min, 1.0),
                                           labels=labels)
         img, labels = hflip(img, labels)
-        out = to_normalized_array(img)
+        out = (to_normalized_array(img) if self.normalize
+               else np.asarray(img, np.uint8))
         return (out, labels) if labels else out
 
     # Fused decode-time crop protocol (native avdec_video_frame_crop): the
@@ -113,10 +120,11 @@ class ImageTrainTransform:
         x, y, cw, ch = random_resized_crop_params(w, h, (self.crop_min, 1.0))
         return (x, y, cw, ch), (self.size, self.size), random.random() < 0.5
 
-    @staticmethod
-    def finish(arr: np.ndarray, flip: bool) -> np.ndarray:
+    def finish(self, arr: np.ndarray, flip: bool) -> np.ndarray:
         if flip:
             arr = arr[:, ::-1]
+        if not getattr(self, "normalize", True):
+            return np.ascontiguousarray(arr, dtype=np.uint8)
         x = arr.astype(np.float32) / 255.0
         return (x - IMAGENET_MEAN) / IMAGENET_STD
 
@@ -136,13 +144,16 @@ class ImageEvalTransform:
 
     Segmentation eval uses resize_to == size (eval_avsegm.py:68-72)."""
 
-    def __init__(self, size: int = 224, resize_factor: float = 0.875):
+    def __init__(self, size: int = 224, resize_factor: float = 0.875,
+                 normalize: bool = True):
         self.size = size
         self.resize_to = int(size / resize_factor) if resize_factor else size
+        self.normalize = normalize
 
     def __call__(self, img, labels=()):
         img, labels = resize_center_crop(img, self.size, self.resize_to, labels)
-        out = to_normalized_array(img)
+        out = (to_normalized_array(img) if self.normalize
+               else np.asarray(img, np.uint8))
         return (out, labels) if labels else out
 
     def crop_spec(self, w: int, h: int):
@@ -153,7 +164,7 @@ class ImageEvalTransform:
         return (((w - src) // 2, (h - src) // 2, src, src),
                 (self.size, self.size), False)
 
-    finish = staticmethod(ImageTrainTransform.finish)
+    finish = ImageTrainTransform.finish
 
 
 # --------------------------------------------------------------------------- #
