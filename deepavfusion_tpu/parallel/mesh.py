@@ -158,6 +158,33 @@ def host_gather(tree):
     return multihost_utils.process_allgather(tree, tiled=True)
 
 
+def host_gather_objects(obj):
+    """Gather arbitrary picklable python objects from every process.
+
+    The reference's ``all_gather`` of objects (util/distributed.py:130-133,
+    torch ``all_gather_object``) — unused by any reference entry point but
+    part of its distributed surface. Returns ``[obj_rank0, obj_rank1, ...]``.
+    Implementation: pickle → uint8 array padded to the global max length
+    (one scalar allgather for lengths, one tiled allgather for payloads over
+    DCN) → unpickle per rank. No-op ``[obj]`` on single-process jobs.
+    """
+    import pickle
+
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    lengths = multihost_utils.process_allgather(
+        np.asarray([payload.size], np.int64), tiled=True)
+    buf = np.zeros(int(lengths.max()), np.uint8)
+    buf[: payload.size] = payload
+    gathered = multihost_utils.process_allgather(buf[None], tiled=False)
+    gathered = np.asarray(gathered).reshape(jax.process_count(), -1)
+    return [pickle.loads(gathered[r, : int(lengths[r])].tobytes())
+            for r in range(jax.process_count())]
+
+
 def process_count() -> int:
     return jax.process_count()
 

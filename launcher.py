@@ -179,6 +179,46 @@ def submit_slurm(args, name: str, overrides: list[str], job_dir: str) -> int:
     return r.returncode
 
 
+def expand_multirun(argv: list) -> list:
+    """Hydra ``-m`` sweep expansion: comma-separated override values sweep
+    over their cartesian product (reference ``@hydra.main`` multirun,
+    launcher.py:103). ``a=1,2 b=x,y`` → 4 runs. Bracketed values
+    (``tkns=[16,8,8]``) are lists, not sweeps — hydra's rule."""
+    import itertools
+
+    fixed, keys, valsets = [], [], []
+    for a in argv:
+        if "=" in a and not a.startswith("-"):
+            k, v = a.split("=", 1)
+            if "," in v and not v.startswith("["):
+                keys.append(k)
+                valsets.append(v.split(","))
+                continue
+        fixed.append(a)
+    runs = []
+    for combo in itertools.product(*valsets):
+        runs.append(fixed + [f"{k}={v}" for k, v in zip(keys, combo)])
+    return runs
+
+
+def run_multirun(name: str, argv: list) -> int:
+    """Sequential sweep: each combination runs as its own launcher
+    subprocess (fresh jax runtime per run). Returns the first nonzero rc."""
+    import subprocess
+
+    runs = expand_multirun(argv)
+    print(f"[multirun] {len(runs)} jobs")
+    worst = 0
+    for i, run_args in enumerate(runs):
+        print(f"[multirun] job {i}/{len(runs)}: {' '.join(run_args)}",
+              flush=True)
+        rc = subprocess.call([sys.executable, __file__, "--config-name",
+                              name, *run_args])
+        if rc and not worst:
+            worst = rc
+    return worst
+
+
 def main(argv=None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
     name = "deepavfusion"
@@ -186,6 +226,9 @@ def main(argv=None) -> None:
         i = argv.index("--config-name")
         name = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    if "-m" in argv or "--multirun" in argv:
+        argv = [a for a in argv if a not in ("-m", "--multirun")]
+        sys.exit(run_multirun(name, argv))
 
     from deepavfusion_tpu.config import load_config
     from deepavfusion_tpu.parallel import mesh as mesh_lib

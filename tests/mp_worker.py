@@ -203,6 +203,13 @@ def main():
             [np.full((world_batch // nproc, 3), p, np.float32) for p in range(nproc)])
         np.testing.assert_array_equal(np.asarray(gathered), want)
 
+    # host_gather_objects (reference all_gather_object,
+    # util/distributed.py:130-133): arbitrary DIFFERENT-SIZE pickled
+    # payloads from every rank, order-preserving.
+    objs = mesh_lib.host_gather_objects({"rank": pid, "tag": "x" * (pid + 1)})
+    assert [o["rank"] for o in objs] == list(range(max(nproc, 1))), objs
+    assert [len(o["tag"]) for o in objs] == [p + 1 for p in range(max(nproc, 1))]
+
     if pid == 0:
         with open(out_fn, "w") as f:
             json.dump({"losses": losses,

@@ -151,3 +151,39 @@ def test_launcher_dispatches_worker(tmp_path, monkeypatch):
     assert called["worker"] == "eval_linprobe"
     # eval jobs nest under the pretraining job dir (reference launcher.py:108-109)
     assert called["output_dir"].endswith("/myjob")
+
+
+def test_multirun_expansion():
+    """hydra -m semantics: comma values sweep the cartesian product;
+    bracketed lists do not sweep."""
+    import launcher
+
+    runs = launcher.expand_multirun(
+        ["opt.blr=1e-4,2e-4", "opt.epochs=5", "model.tkns=[16,8,8]",
+         "data.dataset=vggsound,audioset"])
+    assert len(runs) == 4
+    assert ["opt.epochs=5", "model.tkns=[16,8,8]",
+            "opt.blr=1e-4", "data.dataset=vggsound"] in runs
+    assert ["opt.epochs=5", "model.tkns=[16,8,8]",
+            "opt.blr=2e-4", "data.dataset=audioset"] in runs
+    # no sweep keys: exactly one run, args unchanged
+    assert launcher.expand_multirun(["a.b=1"]) == [["a.b=1"]]
+
+
+def test_multirun_subprocess_sweep(tmp_path):
+    """-m launches one worker subprocess per combination (reference
+    @hydra.main multirun, launcher.py:103)."""
+    (tmp_path / "sweep_worker.py").write_text(
+        "import pathlib\n"
+        "def main_worker(args):\n"
+        "    pathlib.Path(args.output_dir,\n"
+        "                 f'ran_{args.opt.blr}_{args.opt.epochs}').touch()\n"
+    )
+    cmd = [sys.executable, LAUNCHER, "-m", "--config-name", "linprobe",
+           "worker=sweep_worker", f"output_dir={tmp_path}",
+           "job_name=sweepjob", "opt.blr=0.1,0.2", "opt.epochs=1,2"]
+    r = subprocess.run(cmd, env=_env_with(tmp_path), capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    ran = sorted(p.name for p in tmp_path.glob("ran_*"))
+    assert ran == ["ran_0.1_1", "ran_0.1_2", "ran_0.2_1", "ran_0.2_2"], ran

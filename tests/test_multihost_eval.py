@@ -51,6 +51,14 @@ def test_host_gather_invokes_allgather_when_multiprocess(monkeypatch):
     np.testing.assert_array_equal(out[2:], x + 100.0)
 
 
+def test_host_gather_objects_single_process():
+    """reference all_gather_object analogue (util/distributed.py:130-133):
+    single-process no-op returns [obj] unchanged. The real 2-process
+    different-size-payload path runs in tests/mp_worker.py."""
+    obj = {"a": 1, "b": [1, 2, "three"]}
+    assert mesh_lib.host_gather_objects(obj) == [obj]
+
+
 def test_sharded_eval_metrics_match_single_process():
     """Scoring [shard0; shard1; ...] == scoring the full set — the invariant
     host_gather restores for linprobe/finetune classification eval."""
