@@ -200,18 +200,40 @@ def main():
         print(f"WARNING: implausible MFU {mfu:.3f} — timing artifact?",
               file=sys.stderr)
 
+    # Baseline: prefer the MEASURED torch-reference number when the
+    # committed artifact exists (TORCH_REF_CPU.json, produced by
+    # bench_torch_ref.py: the reference's ACTUAL model code on this host's
+    # CPU). The reference publishes no GPU throughput (SURVEY §6), so the
+    # measured comparison available in this image is same-host CPU — the
+    # ratio is then TPU-chip-vs-host-CPU-core, labeled as such. Fallback:
+    # the r1-era assumed 100 clips/s, still labeled "assumed".
+    baseline = {
+        "value": REFERENCE_CLIPS_PER_SEC_PER_CHIP,
+        "unit": "clips/s/chip",
+        "source": "assumed",  # reference publishes no throughput (SURVEY §6)
+        "note": "vs_baseline is vs this assumption, not a measurement",
+    }
+    ref_fn = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "TORCH_REF_CPU.json")
+    if os.path.exists(ref_fn):
+        with open(ref_fn) as f:
+            t = json.load(f)
+        baseline = {
+            "value": t["torch_cpu_clips_per_s"],
+            "unit": "clips/s on one host CPU core (torch reference code)",
+            "source": "measured",
+            "note": "torch reference's actual model code measured on this "
+                    f"host's CPU at batch {t['batch']} "
+                    f"({t['torch_step_s']}s/step, {t['torch_threads']} "
+                    "thread) — bench_torch_ref.py / TORCH_REF_CPU.json; "
+                    "ratio = TPU chip vs one host CPU core, not vs GPU",
+        }
     print(json.dumps({
         "metric": "AV clips/sec/chip ViT-B MAE pretrain step",
         "value": round(clips_per_sec_per_chip, 2),
         "unit": "clips/s/chip",
-        "vs_baseline": round(clips_per_sec_per_chip / REFERENCE_CLIPS_PER_SEC_PER_CHIP, 3),
-        "baseline": {
-            "value": REFERENCE_CLIPS_PER_SEC_PER_CHIP,
-            "unit": "clips/s/chip",
-            "source": "assumed",  # reference publishes no throughput (SURVEY §6)
-            "note": "vs_baseline is vs this assumption, not a measurement; "
-                    "see bench_torch_ref.py for a measured same-host proxy",
-        },
+        "vs_baseline": round(clips_per_sec_per_chip / baseline["value"], 3),
+        "baseline": baseline,
         "mfu": round(mfu, 4) if mfu is not None else None,
         "step_ms": round(dt * 1e3, 2),
         "step_ms_reps": [round(r * 1e3, 2) for r in reps],
