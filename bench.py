@@ -129,9 +129,13 @@ def main():
     # DAVF_BENCH_DEC_HEADS: decoder head-count experiment (16 = reference;
     # 8 → head dim 64, friendlier to the MXU's 128-wide tiles)
     dec_heads = int(os.environ.get("DAVF_BENCH_DEC_HEADS", "16"))
+    # DAVF_BENCH_MU_BF16: AdamW first-moment storage experiment (halves the
+    # m read+write of the HBM-bound update tail; see PretrainConfig).
+    mu_dtype = jnp.bfloat16 if os.environ.get("DAVF_BENCH_MU_BF16") else None
     cfg = pretrain.PretrainConfig(fusion_mlp_ratio=1.0, dtype=jnp.bfloat16,
                                   steps_per_epoch=1000.0, scan_layers=scan,
-                                  remat=remat, decoder_num_heads=dec_heads)
+                                  remat=remat, decoder_num_heads=dec_heads,
+                                  adam_mu_dtype=mu_dtype)
     model = pretrain.build_model(cfg)
     params = pretrain.init_params(model, cfg, seed=0)
     _, state, step_fn, _ = pretrain.make_pretrain_step(

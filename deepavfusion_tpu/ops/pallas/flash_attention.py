@@ -762,6 +762,27 @@ def _fwd_call_nolse(q, k, v, scale, interpret):
     b, h, nq, dh = q.shape
     nk = k.shape[2]
     dhv = v.shape[3]
+    pk = _pk_cfg(h, nq, nk, dh, dhv, q.dtype.itemsize)
+    if pk is not None:
+        p, nkp, hgf, _ = pk
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_nolse_pk, scale=scale, p=p,
+                              nkp=nkp),
+            grid=(b, h // hgf),
+            in_specs=[_block(hgf, nq, dh), _block(hgf, nk, dh),
+                      _block(hgf, nk, dhv)],
+            out_specs=_block(hgf, nq, dhv),
+            out_shape=jax.ShapeDtypeStruct((b, h, nq, dhv), q.dtype),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_PACKED_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * h * nq * (nkp * 128 // dh + nk),
+                bytes_accessed=(q.size + k.size + v.size)
+                * q.dtype.itemsize,
+                transcendentals=b * h * nq * nk,
+            ),
+        )(q, k, v)
     hg = _head_group(h, _per_head_fwd(nq, nk, dh, dhv, q.dtype.itemsize,
                                       lse=False))
     kt = jnp.swapaxes(k, -1, -2)        # (B, H, Dh, Nk) — XLA-side, fuses
@@ -795,6 +816,35 @@ def _flash_nolse_bwd(scale, interpret, residuals, g):
     b, h, nq, dh = q.shape
     nk = k.shape[2]
     dhv = v.shape[3]
+    pk = _pk_cfg(h, nq, nk, dh, dhv, q.dtype.itemsize)
+    if pk is not None:
+        p, nkp, _, hgb = pk
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel_nolse_pk, scale=scale, p=p,
+                              nkp=nkp),
+            grid=(b, h // hgb),
+            in_specs=[
+                _block(hgb, nq, dh), _block(hgb, nk, dh),
+                _block(hgb, nk, dhv), _block(hgb, nq, dhv),
+                _block(hgb, nq, dhv),
+            ],
+            out_specs=(_block(hgb, nq, dh), _block(hgb, nk, dh),
+                       _block(hgb, nk, dhv)),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, h, nq, dh), q.dtype),
+                jax.ShapeDtypeStruct((b, h, nk, dh), k.dtype),
+                jax.ShapeDtypeStruct((b, h, nk, dhv), v.dtype),
+            ),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_PACKED_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=5 * b * h * nq * nk * (dh + dhv),
+                bytes_accessed=2 * (q.size + k.size + v.size)
+                * q.dtype.itemsize,
+                transcendentals=b * h * nq * nk,
+            ),
+        )(q, k, v, out, g)
     hg = _head_group(h, _per_head_bwd(nq, nk, dh, dhv, q.dtype.itemsize,
                                       lse=False))
     kt = jnp.swapaxes(k, -1, -2)        # (B, H, Dh, Nk)
@@ -824,6 +874,253 @@ def _flash_nolse_bwd(scale, interpret, residuals, g):
 
 
 _flash_nolse.defvjp(_flash_nolse_fwd, _flash_nolse_bwd)
+
+
+# --------------------------------------------------------------------------- #
+# v5: lane-packed QKᵀ / dP for small head dims (round-5 decoder-tail attack)
+#
+# The MXU contracts 128 lanes per pass, so a dot whose CONTRACTION dim is
+# the head dim runs at <= Dh/128 MXU density at Dh=32 — and Mosaic's
+# batched small-matmul emitter lands below even that bound (the v4
+# dec_img QKᵀ measured ~330 us for 6.8 GFLOP ≈ 20 TF/s against a 39 TF/s
+# padded bound; knockout probes, NOTES.md r5). Exactly two of the one-shot
+# kernels' six matmuls contract over Dh — the forward/recomputed QKᵀ and
+# the backward's dP = dO Vᵀ; everything else contracts over the sequence
+# dim and is already fast. The v5 kernels replace those two dots with
+# DENSE 128-lane contractions: P = 128/Dh heads' q (or dO) rows are
+# lane-concatenated to a (Nq, 128) block, and K (or V) is expanded in
+# VMEM to a block-diagonal (P*Nkp, 128) stack
+#
+#     Kst[j*Nkp + t, j*Dh : (j+1)*Dh] = K_j[t]      (zeros elsewhere)
+#
+# so  S4 = Q4 @ Kstᵀ  computes every head's logits EXACTLY (the zero
+# blocks kill all cross-head terms), side by side in Nkp-wide lane blocks
+# that are sliced back to the head-major layout the rest of the kernel
+# already uses. Measured on the v5e (B=64 dec shape): the dense dot runs
+# at ~142 TF/s (108 us) vs ~330 us for the per-head batched dot, and the
+# block-diagonal stack build is ~25 us of VPU selects/concats. Padded
+# FLOPs = the same 128/Dh x the useful FLOPs the per-head bound already
+# paid — but now they run at dense-MXU rate. Nkp rounds Nk up to a
+# 128-multiple so every lane slice is tile-aligned; the padded columns
+# are sliced away before the softmax ever sees them.
+#
+# I/O stays the natural head-major (B, H, N, Dh) layout — no host-side
+# relayouts, no routing changes; the packed math is invisible outside the
+# kernel. Exactness: identical op-for-op math to the v4 kernels (f32
+# base-2 softmax, native-dtype matmul inputs with f32 accumulation).
+# DAVF_NO_PACKED=1 disables (falls back to the per-head v4 dots).
+# --------------------------------------------------------------------------- #
+_PACKED_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+_MM_NT = (((1,), (1,)), ((), ()))      # (M,K)x(N,K) -> (M,N)
+
+
+def _pk_cfg(h, nq, nk, dh, dhv, itemsize):
+    """(p, nkp, hg_fwd, hg_bwd) for the packed-QKᵀ one-shot kernels, or
+    None. Eligible when the head dim packs into the 128-lane tile (Dh in
+    {16, 32, 64}), V has the same head dim (every self-attention; the
+    fusion shapes with dhv > dh keep the v4 dots), and the head count
+    divides into packs. Head groups are p-multiples — each group of p
+    heads shares one dense dot — sized to the packed VMEM budget (the
+    64 MiB scoped cap leaves the stack allocator room; fewer grid steps
+    amortize the measured ~0.6 us/step floor)."""
+    # OPT-IN (DAVF_PACKED=1): five packed designs were A/B'd on the v5e at
+    # the dec_img train shape (B=64 H16 N228 Dh32; NOTES.md r5 table) and
+    # the best measured 435/1375 us fwd/bwd vs the per-head v4 kernels'
+    # 401/1138 — the isolated dense dot IS ~3x faster (108 vs 330 us,
+    # knockout probes) but the stack builds + per-head slice softmax +
+    # repacking VPU work eats the win at these shapes. Kept for A/B and
+    # for future shapes where the dense-contraction advantage outgrows
+    # the fixed VPU overhead.
+    if not os.environ.get("DAVF_PACKED"):
+        return None
+    if dhv != dh or dh not in (16, 32, 64):
+        return None
+    p = 128 // dh
+    if h % p:
+        return None
+    nkp = -(-nk // 128) * 128
+
+    def per_head(bwd):
+        io = (2 if bwd else 1) * itemsize * 4 * nq * dh
+        sm = ((16 + 2 * itemsize) if bwd else (8 + itemsize)) * nq * nk
+        stacks = (2 if bwd else 1) * itemsize * nkp * 128
+        s4 = (2 if bwd else 1) * 4 * nq * nkp
+        return io + sm + stacks + s4
+
+    def pick(bwd):
+        per = per_head(bwd)
+        hg = max(min(_PK_BUDGET // max(per, 1), h), 0)
+        hg -= hg % p
+        while hg > p and h % hg:
+            hg -= p
+        return hg if hg and h % hg == 0 else (p if h % p == 0 and p * per
+                                              <= _PK_BUDGET else 0)
+
+    hgf, hgb = pick(False), pick(True)
+    ov = os.environ.get("DAVF_PK_HG")       # trace-time calibration sweep
+    if ov:
+        hgf = hgb = max(p, min(int(ov) - int(ov) % p, h))
+        while h % hgf:
+            hgf = hgb = hgf - p
+    if not hgf or not hgb:
+        return None
+    return p, nkp, hgf, hgb
+
+
+_PK_BUDGET = 24 * 1024 * 1024
+
+
+def _stack_rows(slices, nkp):
+    """Per-head (1, Nk, Dh) value slices -> block-diagonal (1, P*Nkp, P*Dh)
+    stack (see the v5 note). Pure lane/sublane zero-concats — no
+    transposes, no reshapes, rank preserved throughout (Mosaic has no
+    general reshape/squeeze path — the fusion_block.py lesson)."""
+    p = len(slices)
+    _, nk, dh = slices[0].shape
+    dt = slices[0].dtype
+    parts = []
+    for j, kj in enumerate(slices):
+        cols = []
+        if j:
+            cols.append(jnp.zeros((1, nk, j * dh), dt))
+        cols.append(kj)
+        if j < p - 1:
+            cols.append(jnp.zeros((1, nk, (p - 1 - j) * dh), dt))
+        blk = jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+        if nkp != nk:
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((1, nkp - nk, p * dh), dt)], axis=1)
+        parts.append(blk)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _lane_cat(x, lo, p):
+    """p consecutive head slices of x lane-concatenated: (1, N, P*Dh)."""
+    return jnp.concatenate([x[lo + j:lo + j + 1] for j in range(p)], axis=-1)
+
+
+_TN_DNUMS = (((1,), (1,)), ((0,), (0,)))   # (1,K,M)x(1,K,N) -> (1,M,N)
+
+
+def _packed_probs(s4, p, nk, nkp, dt):
+    """Per-head base-2 softmax on lane SLICES of the packed logits s4
+    (1, Nq, P*Nkp) f32, re-packed as dt with zero tails. The padded tail
+    columns are never sliced in, so no -inf masking is needed; the zero
+    tails multiply the stacks' zero rows downstream. Returns (probs_packed
+    dt, per-head f32 probs list for the backward's dS)."""
+    pcs, prs = [], []
+    pad = None
+    for j in range(p):
+        sj = s4[:, :, j * nkp:j * nkp + nk]
+        m = jnp.max(sj, axis=-1, keepdims=True)
+        e = jnp.exp2(sj - m)
+        pr = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+        prs.append(pr)
+        pj = pr.astype(dt)
+        if nkp != nk:
+            if pad is None:
+                pad = jnp.zeros((1, sj.shape[1], nkp - nk), dt)
+            pj = jnp.concatenate([pj, pad], axis=-1)
+        pcs.append(pj)
+    return jnp.concatenate(pcs, axis=-1), prs
+
+
+def _fwd_kernel_nolse_pk(q_ref, k_ref, v_ref, o_ref, *, scale, p, nkp):
+    """v5 one-shot forward: every matmul a packed-dense 128-contraction
+    (see the module note) — QKᵀ against the block-diagonal K stack, PV
+    against the V stack (whose zero blocks make the packed probabilities'
+    zero tails harmless). Softmax runs per head on lane slices; only thin
+    (1, N, Dh) outputs are concatenated. Rank-3 slices/concats and
+    size-1-batch dot_generals only (Mosaic has no reshape/squeeze path)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    hg, nq, dh = q.shape
+    nk = k.shape[1]
+    outs = []
+    for g in range(hg // p):
+        a4 = _lane_cat(q, g * p, p)
+        kst = _stack_rows([k[g * p + j:g * p + j + 1] for j in range(p)],
+                          nkp)
+        vst = _stack_rows([v[g * p + j:g * p + j + 1] for j in range(p)],
+                          nkp)
+        s4 = jax.lax.dot_general(
+            a4, kst, _BATCH_DNUMS, preferred_element_type=jnp.float32
+        ) * (scale * _LOG2E)                            # (1, Nq, P*Nkp)
+        pc4, _ = _packed_probs(s4, p, nk, nkp, q.dtype)
+        o4 = jax.lax.dot_general(
+            pc4, vst, _PV_DNUMS, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)                           # (1, Nq, 128) merged
+        outs.extend(o4[:, :, j * dh:(j + 1) * dh] for j in range(p))
+    o_ref[0] = jnp.concatenate(outs, axis=0)
+
+
+def _bwd_kernel_nolse_pk(q_ref, k_ref, v_ref, o_ref, do_ref,
+                         dq_ref, dk_ref, dv_ref, *, scale, p, nkp):
+    """v5 one-shot backward: all five matmuls packed-dense (QKᵀ recompute,
+    dP = dO Vstᵀ, dVst = P4ᵀ dO4, dKst = dS4ᵀ Q4, dQ4 = dS4 Kst); per-head
+    softmax/dS on lane slices; dk/dv extracted from the stacks' diagonal
+    blocks as thin slices. The off-diagonal blocks of dKst/dVst are the
+    padding waste the dense-MXU rate already paid for."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    o = o_ref[0]
+    do = do_ref[0]
+    dt = q.dtype
+    hg, nq, dh = q.shape
+    nk = k.shape[1]
+
+    dqs, dks, dvs = [], [], []
+    pad = None
+    for g in range(hg // p):
+        a4 = _lane_cat(q, g * p, p)
+        do4 = _lane_cat(do, g * p, p)
+        o4 = _lane_cat(o, g * p, p)
+        kst = _stack_rows([k[g * p + j:g * p + j + 1] for j in range(p)],
+                          nkp)
+        vst = _stack_rows([v[g * p + j:g * p + j + 1] for j in range(p)],
+                          nkp)
+        s4 = jax.lax.dot_general(
+            a4, kst, _BATCH_DNUMS, preferred_element_type=jnp.float32
+        ) * (scale * _LOG2E)
+        dp4 = jax.lax.dot_general(
+            do4, vst, _BATCH_DNUMS, preferred_element_type=jnp.float32)
+        pc4, prs = _packed_probs(s4, p, nk, nkp, dt)
+        prod = do4.astype(jnp.float32) * o4.astype(jnp.float32)
+        dss = []
+        for j in range(p):
+            dcap = jnp.sum(prod[:, :, j * dh:(j + 1) * dh], axis=-1,
+                           keepdims=True)
+            dpj = dp4[:, :, j * nkp:j * nkp + nk]
+            dsj = (prs[j] * (dpj - dcap)).astype(dt)
+            if nkp != nk:
+                if pad is None:
+                    pad = jnp.zeros((1, nq, nkp - nk), dt)
+                dsj = jnp.concatenate([dsj, pad], axis=-1)
+            dss.append(dsj)
+        ds4 = jnp.concatenate(dss, axis=-1)             # (1, Nq, P*Nkp)
+
+        dvst = jax.lax.dot_general(
+            pc4, do4, _TN_DNUMS, preferred_element_type=jnp.float32)
+        dkst = jax.lax.dot_general(
+            ds4, a4, _TN_DNUMS, preferred_element_type=jnp.float32)
+        dq4 = jax.lax.dot_general(
+            ds4, kst, _PV_DNUMS, preferred_element_type=jnp.float32
+        ) * scale
+        dq4 = dq4.astype(dq_ref.dtype)
+
+        dqs.extend(dq4[:, :, j * dh:(j + 1) * dh] for j in range(p))
+        dks.extend((dkst[:, j * nkp:j * nkp + nk, j * dh:(j + 1) * dh]
+                    * scale).astype(dk_ref.dtype) for j in range(p))
+        dvs.extend(dvst[:, j * nkp:j * nkp + nk,
+                        j * dh:(j + 1) * dh].astype(dv_ref.dtype)
+                   for j in range(p))
+    dq_ref[0] = jnp.concatenate(dqs, axis=0)
+    dk_ref[0] = jnp.concatenate(dks, axis=0)
+    dv_ref[0] = jnp.concatenate(dvs, axis=0)
 
 
 def flash_attention(

@@ -389,3 +389,60 @@ def test_one_shot_bwd_fits_boundaries():
     assert one_shot_bwd_fits(324, 324, 64, 64, 2)     # joint fusion bound
     assert not one_shot_bwd_fits(1568, 1568, 64, 64, 2)   # 16-frame video
     assert not one_shot_bwd_fits(2352, 2352, 64, 64, 2)   # 24-frame video
+
+
+def test_packed_kernels_match_xla(monkeypatch):
+    """v5 packed-QK one-shot kernels (DAVF_PACKED opt-in): exact per-head
+    math incl. the Nkp tail path (nk=228 -> 256) and the no-tail path
+    (nk=128), forward and gradients."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from deepavfusion_tpu.ops import attention as A
+    from deepavfusion_tpu.ops.pallas import flash_attention as fa
+
+    monkeypatch.setenv("DAVF_PACKED", "1")
+    rng = np.random.RandomState(0)
+    for b, h, nq, nk, dh in [(2, 16, 100, 228, 32),   # tail-masked nkp=256
+                             (2, 16, 128, 128, 32),   # nkp == nk
+                             (2, 8, 60, 100, 16),     # p=8, tail-masked
+                             (2, 4, 130, 130, 64)]:   # p=2, tail-masked
+        assert fa._pk_cfg(h, nq, nk, dh, dh, 4) is not None, (h, nq, nk, dh)
+        q = jnp.asarray(rng.randn(b, h, nq, dh), jnp.float32)
+        k = jnp.asarray(rng.randn(b, h, nk, dh), jnp.float32)
+        v = jnp.asarray(rng.randn(b, h, nk, dh), jnp.float32)
+
+        got = fa.flash_attention(q, k, v, interpret=True)
+        want = A.xla_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+        def loss_p(q, k, v):
+            return (fa.flash_attention(q, k, v, interpret=True) ** 2).sum()
+
+        def loss_x(q, k, v):
+            return (A.xla_attention(q, k, v) ** 2).sum()
+
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=5e-4, rtol=5e-4)
+
+
+def test_packed_cfg_gating(monkeypatch):
+    from deepavfusion_tpu.ops.pallas import flash_attention as fa
+
+    monkeypatch.setenv("DAVF_PACKED", "1")
+    cfg = fa._pk_cfg(16, 228, 228, 32, 32, 2)
+    assert cfg is not None and cfg[0] == 4 and cfg[1] == 256
+    assert cfg[2] % 4 == 0 and cfg[3] % 4 == 0      # head groups are p-multiples
+    # dhv != dh (fusion pair attention) stays on the v4 dots
+    assert fa._pk_cfg(12, 16, 64, 16, 64, 2) is None
+    # head count not divisible by the pack
+    assert fa._pk_cfg(6, 128, 128, 32, 32, 2) is None
+    # Dh=128+ has nothing to pack
+    assert fa._pk_cfg(8, 128, 128, 128, 128, 2) is None
+    # opt-in gate
+    monkeypatch.delenv("DAVF_PACKED")
+    assert fa._pk_cfg(16, 228, 228, 32, 32, 2) is None
