@@ -129,9 +129,12 @@ def main():
     # DAVF_BENCH_DEC_HEADS: decoder head-count experiment (16 = reference;
     # 8 → head dim 64, friendlier to the MXU's 128-wide tiles)
     dec_heads = int(os.environ.get("DAVF_BENCH_DEC_HEADS", "16"))
-    # DAVF_BENCH_MU_BF16: AdamW first-moment storage experiment (halves the
-    # m read+write of the HBM-bound update tail; see PretrainConfig).
-    mu_dtype = jnp.bfloat16 if os.environ.get("DAVF_BENCH_MU_BF16") else None
+    # AdamW first-moment storage: bf16 is the production default since r5
+    # (114.97 -> 113.34 ms/step measured A/B on the v5e — it halves the m
+    # read+write of the HBM-bound update tail). DAVF_BENCH_MU_F32=1 benches
+    # the torch-bit-parity f32 mode instead.
+    mu_dtype = ("float32" if os.environ.get("DAVF_BENCH_MU_F32")
+                else "bfloat16")
     cfg = pretrain.PretrainConfig(fusion_mlp_ratio=1.0, dtype=jnp.bfloat16,
                                   steps_per_epoch=1000.0, scan_layers=scan,
                                   remat=remat, decoder_num_heads=dec_heads,

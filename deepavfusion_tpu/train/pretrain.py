@@ -61,8 +61,27 @@ class PretrainConfig:
     audio_pretrained: bool = True
     steps_per_epoch: float = 1000.0
     decoder_num_heads: int = 16      # reference avmae.py decoder heads
-    adam_mu_dtype: Any = None        # bf16 = lighter HBM-bound update tail
+    # AdamW first-moment storage. bf16 halves the m read+write of the
+    # HBM-bound update tail — measured on the v5e (B=64 full step):
+    # 114.97 -> 113.34 ms/step (NOTES.md r5). Production DEFAULT since r5;
+    # it does NOT affect checkpoint compatibility with the reference (the
+    # optimizer state is this framework's own), only bit-level trajectory
+    # reproduction of torch AdamW — set "float32" for that (what the
+    # parity suites pin: tests/test_train_{step,trajectory}_parity.py).
+    adam_mu_dtype: Any = "bfloat16"
     dtype: Any = jnp.bfloat16
+
+
+def _mu_dtype(v):
+    """Normalize the adam_mu_dtype config field (dtype | name | None).
+
+    "float32"/None mean optax's native f32 moments (bit-parity with torch
+    AdamW); any other name is resolved through jnp.dtype."""
+    if v is None or v == "float32" or v == "f32":
+        return None
+    if isinstance(v, str):
+        return jnp.dtype(v)
+    return v
 
 
 def build_model(cfg: PretrainConfig) -> avmae_mod.AVMAE:
@@ -127,7 +146,7 @@ def make_pretrain_step(model, params, cfg: PretrainConfig, world_batch: int,
         pt_warmup_epochs=lr_sched.eval_epochs_expr(cfg.pt_warmup_epochs, cfg.epochs),
         image_pt=cfg.image_pretrained,
         audio_pt=cfg.audio_pretrained,
-        mu_dtype=cfg.adam_mu_dtype,
+        mu_dtype=_mu_dtype(cfg.adam_mu_dtype),
     )
     tx, lr_fn = lr_sched.make_adamw(params, opt_cfg)
 
