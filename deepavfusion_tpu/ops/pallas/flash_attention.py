@@ -86,12 +86,24 @@ from jax.experimental.pallas import tpu as pltpu
 # A/B-measured-good; see _vbytes for the padded math the tiled tier uses.)
 _VMEM_BUDGET = 5 * 1024 * 1024
 # Ceiling for the tiled tier's *padded* working-set estimate (_vbytes
-# terms, incl. double-buffered in/out blocks and every f32 temp). With the
-# fori_loop chunk loop (one chunk's temps live at a time) the estimate
-# tracks Mosaic's stack allocation closely, but the allocator still adds
-# overhead the arithmetic can't see — so plan to 10 MiB and raise the
-# Mosaic scoped-VMEM cap for the tiled calls (below) as the safety margin.
-_TILED_BUDGET = 10 * 1024 * 1024
+# terms, incl. double-buffered in/out blocks and every f32 temp).
+# RETUNED in round 5 from the on-hardware plan sweep (bench_tiled_sweep,
+# v5e, video_joint_1568 B=8): the old 10 MiB budget forced (bq=640,
+# bk=128)-class plans that measured bwd 7715 us (LOSING to XLA's 5768 —
+# the r3/r4 "tiled backward loses its isolated A/B" result was a PLANNER
+# artifact, not a kernel limit); whole-row plans demolish both:
+#
+#   plan (bq, bk, hg)   fwd us   bwd us     (XLA: 2834 / 5768)
+#   640/128 (old 10MiB) 2670     7715
+#   1568,512            1333     3417   <- budget 30 MiB picks this
+#   1024,512            1710     4408
+#   512,512             1657     4698
+#
+# 30 MiB picks the whole-row bq with bk=512 at 1568-1600 tokens and
+# (2352, 512)fwd/(2352, 256)bwd at 24 frames; estimates stay under half
+# the 64 MiB scoped cap (Mosaic's stack allocator historically lands at
+# ~2/3 of this estimator — the r4 fused-block calibration).
+_TILED_BUDGET = 30 * 1024 * 1024
 # Mosaic scoped-VMEM cap for the TILED calls (default 16 MiB; v5e physical
 # VMEM is 128 MiB). 64 MiB gives the stack allocator ~6x headroom over the
 # planner's budget while leaving half the physical VMEM for Mosaic's block
@@ -239,12 +251,13 @@ def tiled_fits(nq: int, nk: int, dh: int, dhv: int, itemsize: int) -> bool:
 def one_shot_bwd_fits(nq: int, nk: int, dh: int, dhv: int, itemsize: int) -> bool:
     """True iff the BACKWARD runs one-shot (whole row in VMEM).
 
-    Informational (kernel-tier boundary), NOT a routing gate: the Q-tiled
-    backward loses its ISOLATED A/B (video_joint_1568 bwd 7.36 vs 5.76 ms
-    XLA) but wins 18% IN CONTEXT on the full remat train step — XLA's
-    fallback materializes the N-squared logits in HBM per layer, which
-    costs more than the tiled kernels' sequential chunk loop
-    (bench_video.py; ops/attention._pallas_for_training docstring)."""
+    Informational (kernel-tier boundary), NOT a routing gate. History: the
+    Q-tiled backward appeared to lose its isolated A/B in r3/r4 (7.36 vs
+    5.76 ms XLA at 1568 tokens) — the r5 plan sweep showed that was a
+    PLANNER artifact (the 10 MiB budget); with whole-row plans the tiled
+    kernels win BOTH directions isolated too (bwd 3.42 vs 5.77 ms; see
+    _TILED_BUDGET note), on top of the 18% in-context train-step win
+    (bench_video.py)."""
     return (_per_head_bwd(nq, nk, dh, dhv, itemsize, lse=True) <= _VMEM_BUDGET
             or _per_head_bwd(nq, nk, dh, dhv, itemsize, lse=False)
             <= _VMEM_BUDGET)

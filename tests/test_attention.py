@@ -209,9 +209,11 @@ def test_tiled_planner_padded_accounting():
             # (lane-position lse block; ragged tails are masked in-kernel)
             assert bq == n or bq % 128 == 0
             assert bk % 128 == 0
-    # the f32 1600 fwd must NOT keep all rows resident (that was the
-    # 19.4 MB plan); any in-budget plan necessarily Q-blocks
-    bq, _ = F._plan_fwd_tiled(1600, 1600, 64, 64, 4)
+    # r5 retuned _TILED_BUDGET to 30 MiB (whole-row plans won the hardware
+    # sweep); the padded-accounting invariant is that the historical 10 MiB
+    # budget still forces the f32 1600 fwd to Q-block (the r3 19.4 MB plan
+    # came from UNPADDED arithmetic OK'ing whole-row under 10 MiB)
+    bq, _ = F._plan_fwd_tiled(1600, 1600, 64, 64, 4, budget=10 * 1024 * 1024)
     assert bq < 1600
 
 
@@ -240,36 +242,43 @@ def test_flash_attention_tiled_matches_xla():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
-def test_flash_attention_qtiled_matches_xla():
+def test_flash_attention_qtiled_matches_xla(monkeypatch):
     """Q-blocked tiled forward (24-frame joint-attention scale, 2352
-    tokens: the planner must pick bq < nq, so the Q grid dim engages)."""
+    tokens). The r5 default budget picks whole-row plans, so the historical
+    10 MiB budget is pinned here to keep the Q grid dim + ragged-tail path
+    under interpret-mode coverage."""
     from deepavfusion_tpu.ops.pallas import flash_attention as F
 
+    monkeypatch.setenv("DAVF_TILED_PLAN_FWD", "512,512")
     rng = np.random.RandomState(9)
     q = jnp.asarray(rng.randn(1, 2, 2352, 64).astype(np.float32))
     k = jnp.asarray(rng.randn(1, 2, 2352, 64).astype(np.float32))
     v = jnp.asarray(rng.randn(1, 2, 2352, 64).astype(np.float32))
-    plan = F._plan_fwd_tiled(2352, 2352, 64, 64, 4)
+    plan = F._plan_fwd_tiled(2352, 2352, 64, 64, 4,
+                             budget=10 * 1024 * 1024)
     assert plan is not None and plan[0] < 2352
     got = F.flash_attention(q, k, v, interpret=True)
     want = attention.xla_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
-def test_flash_attention_qtiled_gradient_matches_xla():
+def test_flash_attention_qtiled_gradient_matches_xla(monkeypatch):
     """Tiled backward: dk/dv accumulated across Q-block grid steps in VMEM
     scratch (zeroed at the first Q step, written back at the last). The
     1600-token f32 plan must Q-block (bq < nq) so the accumulation across
-    grid steps is actually exercised."""
+    grid steps is actually exercised — pinned to the historical 10 MiB
+    budget (the r5 default plans whole-row)."""
     import jax
 
     from deepavfusion_tpu.ops.pallas import flash_attention as F
 
+    monkeypatch.setenv("DAVF_TILED_PLAN_BWD", "512,512")
     rng = np.random.RandomState(10)
     q = jnp.asarray(rng.randn(1, 1, 1600, 64).astype(np.float32))
     k = jnp.asarray(rng.randn(1, 1, 1600, 64).astype(np.float32))
     v = jnp.asarray(rng.randn(1, 1, 1600, 64).astype(np.float32))
-    plan = F._plan_bwd_tiled(1600, 1600, 64, 64, 4)
+    plan = F._plan_bwd_tiled(1600, 1600, 64, 64, 4,
+                             budget=10 * 1024 * 1024)
     assert plan is not None and plan[0] < 1600
 
     def loss_pallas(q, k, v):
