@@ -135,10 +135,14 @@ def main():
     # the torch-bit-parity f32 mode instead.
     mu_dtype = ("float32" if os.environ.get("DAVF_BENCH_MU_F32")
                 else "bfloat16")
+    # DAVF_BENCH_DEC_REMAT=1: rematerialize only the MAE decoder blocks
+    # (the r5 roofline shows them HBM-bound on stored intermediates).
+    dec_remat = os.environ.get("DAVF_BENCH_DEC_REMAT", "0") == "1"
     cfg = pretrain.PretrainConfig(fusion_mlp_ratio=1.0, dtype=jnp.bfloat16,
                                   steps_per_epoch=1000.0, scan_layers=scan,
                                   remat=remat, decoder_num_heads=dec_heads,
-                                  adam_mu_dtype=mu_dtype)
+                                  adam_mu_dtype=mu_dtype,
+                                  decoder_remat=dec_remat)
     model = pretrain.build_model(cfg)
     params = pretrain.init_params(model, cfg, seed=0)
     _, state, step_fn, _ = pretrain.make_pretrain_step(

@@ -91,11 +91,11 @@ def run_segment(batch, iters, name):
         xx = jnp.asarray(rng.randn(batch * N, D), dt)
 
         def gemm(c):
-            y = (c @ w1) @ w2
-            # renormalize so the chain can't drift to denormals/inf
-            return y * jax.lax.rsqrt(
-                jnp.mean(jnp.square(y.astype(jnp.float32))) + 1e-6
-            ).astype(y.dtype)
+            # plain chained GEMM pair; the 0.02-scaled weights keep the
+            # carry's magnitude drifting slowly enough for 400 iterations
+            # (denormal flush is free on TPU), and a renorm would serialize
+            # a full reduction into every iteration (measured 3x slower)
+            return (c @ w1) @ w2
 
         chain(gemm, xx)
         print(json.dumps(out))
@@ -136,10 +136,12 @@ def run_segment(batch, iters, name):
         return apply(pp, xx).astype(jnp.float32).mean()
 
     if name.endswith("_fwd"):
+        # all three modules map (B, N, D) -> (B, N, D): chain the OUTPUT
+        # directly. The earlier xx*(1+0*loss) fold measured 2-3x slower
+        # than the module's share of the fwd+bwd chain — the scalar
+        # reduction + full-tensor multiply serialized the chain.
         def fwd(xx):
-            s = loss(params, xx)
-            # NaN-safe fold: XLA cannot fold 0*s away (0*NaN semantics)
-            return xx * (1.0 + 0.0 * s.astype(xx.dtype))
+            return apply(params, xx)
 
         chain(fwd, x)
     else:
@@ -182,8 +184,9 @@ def main():
         row = {k: d[k] for k in ("ms", "ms_raw", "gflops", "mbytes")
                if k in d}
         if "gflops" in row and row["ms"]:
+            # GF / (GF/s) and MB / (MB/s) are SECONDS -> scale to ms
             bound = max(row["gflops"] / (SOL_TFS / 1e9),
-                        row["mbytes"] / (SOL_BW / 1e6))
+                        row["mbytes"] / (SOL_BW / 1e6)) * 1e3
             row["bound_ms"] = round(bound, 4)
             row["ratio"] = round(row["ms"] / bound, 3)
             row["tfs"] = round(row["gflops"] / row["ms"], 1)

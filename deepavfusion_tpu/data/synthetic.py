@@ -41,10 +41,19 @@ def synthetic_batch(
     audio_frames: int = 192,
     num_classes: int = 0,
     seed: int = 0,
+    u8_images: bool = False,
 ) -> dict:
     rng = np.random.RandomState(seed)
+    if u8_images:
+        # production wire format (data.u8_images, ops/image.py): raw uint8
+        # pixels shipped to the device, /255-mean/std folded into the step
+        image = rng.randint(0, 256, size=(batch_size, image_size,
+                                          image_size, 3), dtype=np.uint8)
+    else:
+        image = rng.randn(batch_size, image_size, image_size, 3
+                          ).astype(np.float32)
     batch = {
-        "image": rng.randn(batch_size, image_size, image_size, 3).astype(np.float32),
+        "image": image,
         "audio": rng.randn(batch_size, audio_mels, audio_frames, 1).astype(np.float32),
     }
     if num_classes:

@@ -27,6 +27,12 @@ class PretrainConfig:
     audio_depth: Optional[int] = None
     scan_layers: bool = False              # lax.scan over layer trios
     remat: bool = False                    # rematerialize scanned layer trios
+    # Rematerialize ONLY the MAE decoder blocks (trunk untouched). The r5
+    # roofline (bench_decoder_attr.py) measured the decoder block fwd+bwd
+    # AT the HBM roofline — 3.18 GB of stored intermediates per layer step
+    # moving at 831 GB/s — so trading those bytes for recompute FLOPs is
+    # the one lever left; A/B via DAVF_BENCH_DEC_REMAT (bench.py).
+    decoder_remat: bool = False
     image_size: int = 224
     audio_mels: int = 128
     audio_frames: int = 192          # int(audio_dur * 64), train.py:65
@@ -101,7 +107,7 @@ def build_model(cfg: PretrainConfig) -> avmae_mod.AVMAE:
     )
     mae = avmae_mod.AVMAEConfig(
         encoder=enc,
-        remat=cfg.remat,
+        remat=cfg.remat or cfg.decoder_remat,
         image_decoder=avmae_mod.MAEDecoderConfig(
             cfg.image_decoder_arch, cfg.image_decoder_depth,
             cfg.image_mask_ratio, cfg.image_norm_loss,

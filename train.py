@@ -89,6 +89,7 @@ def main_worker(args) -> dict:
                 max(steps_per_epoch // cfg.accum_iter, 1),
                 seed=epoch * 100_000, image_size=cfg.image_size,
                 audio_mels=cfg.audio_mels, audio_frames=cfg.audio_frames,
+                u8_images=bool(args.data.get("u8_images", True)),
             )
         from deepavfusion_tpu.data import pipeline
 
