@@ -11,7 +11,7 @@
 #      by the driver (kill $(cat /tmp/soak.pid)) after ~45 min
 #   B  CPU dp8 elastic hop: same params/optimizer state restored onto an
 #      8-device mesh for one short epoch (batch 16, 8 steps — ViT-B on one
-#      CPU core is ~2 min/step; the hop proves topology-changing resume,
+#      CPU core is ~1-2 min/step; the hop proves topology-changing resume,
 #      not CPU throughput)
 #   C  TPU again, resumed, runs to the target epoch count
 #
@@ -21,29 +21,28 @@ cd "$(dirname "$0")"
 JOB="job_name=soak_r05 output_dir=runs data.synthetic=true"
 COMMON="model.scan_layers=true model.remat=true opt.warmup_epochs=3 \
   log.save_freq=10 log.eval_freq=5 log.print_freq=100"
-TPU_ARGS="$JOB $COMMON opt.batch_size=32 data.steps_per_epoch=500 opt.epochs=30"
+TPU_ARGS="$JOB $COMMON opt.batch_size=32 data.steps_per_epoch=500 opt.epochs=12"
 
 case "$1" in
   A)
     exec python train.py $TPU_ARGS
     ;;
   B)
-    # one elastic CPU epoch: epochs is bumped to (resumed epoch + 1) by
-    # passing a small total the resume point is already below
-    EP=$(python - <<'EOF'
-import json, glob, os, re
-cks = glob.glob("runs/soak_r05/checkpoints/checkpoint_latest*")
-# orbax layout: the manager records the epoch; fall back to parsing dirs
-ep = 0
-for d in glob.glob("runs/soak_r05/checkpoints/*"):
-    m = re.search(r"(\d+)$", os.path.basename(d))
+    # one elastic CPU epoch: the resume epoch is the last completed epoch
+    # in train.log + 1; opt.epochs is set to exactly one more than that
+    EP=$(python - <<'PYEOF'
+import re
+ep = -1
+for line in open("runs/soak_r05/train.log"):
+    m = re.search(r"\[Ep-(\d+)/\d+\] Total time", line)
     if m:
-        ep = max(ep, int(m.group(1)))
-print(ep + 1)
-EOF
+        ep = int(m.group(1))
+print(ep + 2)   # resume starts at ep+1; run exactly one epoch
+PYEOF
 )
+    echo "elastic CPU epoch: opt.epochs=$EP"
     exec env JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python train.py $JOB $COMMON opt.batch_size=16 data.steps_per_epoch=8 \
+      python train.py $JOB $COMMON opt.batch_size=8 data.steps_per_epoch=4 \
       opt.epochs=$EP
     ;;
   C)
